@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (page text -> geo-entity
+extraction -> cell encode -> cell-prefiltered ray-cast PIP spatial join
+-> z12 tile assignment) on sf0.001.  ``queries()`` / ``oracle_sql()``
+expose every implemented operator from SURVEY.md §2 for the DuckDB
+correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Which pages mention a place inside each boundary, and which z12
+    tile does each mention land in.
+    """
+    from osmgraft import cells, synth
+    from osmgraft.extract import extract_entities
+    from osmgraft.join import spatial_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = synth.pages_df(spark, sf_dir)
+    ents = extract_entities(pages)
+    joined = spatial_join(spark, ents, synth.boundaries())
+    tx, ty = cells.mercator_tile_cols(F.col("lon_e7"), F.col("lat_e7"), 12)
+    return joined.select(
+        "url",
+        "doc_id",
+        "ent_idx",
+        "name",
+        "boundary_id",
+        F.lit(12).cast("int").alias("z"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osmgraft.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osmgraft.queries import ORACLES
+
+    return dict(ORACLES)

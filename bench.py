@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: pages/sec through the flagship pipeline (page text ->
+entity extraction -> cell-prefiltered PIP spatial join -> z12 tile
+assignment) on a deterministically replicated corpus (~600k pages at
+sf0.1).  Scaling evidence for the north_rule (local[8] vs local[32])
+lives in bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "120"))
+
+
+def flagship_pages_per_sec(spark):
+    from pyspark.sql import functions as F
+
+    from osmgraft import cells, synth
+    from osmgraft.extract import extract_entities
+    from osmgraft.join import spatial_join
+
+    pages = synth.pages_df(spark, SF_DIR, replicate=REPLICATE).cache()
+    n_pages = pages.count()  # materialize input before the clock starts
+
+    t0 = time.time()
+    ents = extract_entities(pages)
+    joined = spatial_join(spark, ents, synth.boundaries())
+    tx, ty = cells.mercator_tile_cols(F.col("lon_e7"), F.col("lat_e7"), 12)
+    out = joined.select(
+        "doc_id", "ent_idx", "boundary_id",
+        tx.alias("tile_x"), ty.alias("tile_y"),
+    )
+    n_out = out.count()
+    dt = time.time() - t0
+    pages.unpersist()
+    return n_pages, n_out, dt
+
+
+def main():
+    from osmgraft.queries import QUERIES
+    from osmgraft.session import get_spark
+
+    spark = get_spark(app="osmgraft-bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    n_pages, n_out, flagship_sec = flagship_pages_per_sec(spark)
+
+    bench_queries = [
+        "geo_pip_join",
+        "geo_tile_assign",
+        "geo_knn",
+        "pricing_summary",
+        "segment_revenue",
+        "dedup_exact",
+        "doc_token_stats",
+        "ann_topk",
+    ]
+    per_query = {}
+    for name in bench_queries:
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "flagship extract+spatial-join+tile pipeline, wall sec "
+        f"({n_pages} pages -> {n_out} match rows; "
+        f"{round(n_pages / flagship_sec)} pages/sec)",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "pages_per_sec": round(n_pages / flagship_sec, 1),
+        "n_pages": n_pages,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

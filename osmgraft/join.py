@@ -1,0 +1,235 @@
+"""Spatial joins: cell-prefiltered point-in-polygon join and kNN.
+
+The flagship operator (reference: per-node loop over country polygons,
+``osmc/obm.c:209-226``, ``osmc/olm.c:161-190``) re-expressed Spark-first
+as a **two-phase join**:
+
+1. **Cell prefilter** — every boundary polygon is expanded driver-side
+   into an exact-superset cell cover on the integer lon/lat grid
+   (``geometry.polygon_cover``); points compute their cell with pure
+   JVM integer arithmetic (whole-stage codegen) and equi-join the
+   broadcast cover.  No shuffle of the big side at all: scan ->
+   project -> broadcast-hash-join runs in one stage, which is the
+   100 TB-safe shape (the probe side streams; skewed hot cells are
+   irrelevant to a broadcast join because there is no shuffle by key).
+2. **Exact refine** — surviving (point, boundary) candidate pairs run
+   the reference's ray-cast parity test (``osmc/CountryPolygon.c:59-126``)
+   in a vectorized Arrow pandas UDF over int64 numpy; boundary geometry
+   rides a SparkContext broadcast variable, not a join column, so
+   candidate rows stay narrow.
+
+Empty polygons (0 segments match everything, ``CountryPolygon.c:105-107``)
+skip both phases via a cross join against the (tiny) empty-boundary list.
+
+kNN (north_rule addition; no reference analog — the reference's kd-trees
+``osmc/2DTree.c`` serve viewport lookups): iterative k-ring expansion on
+the same grid with an exact integer distance refine and a
+``row_number() <= k`` top-k; ring radius doubles until the k-th
+neighbor's distance is certified by the ring guarantee.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cells
+from .geometry import OUTSIDE, Polygon, polygon_cover
+
+DEFAULT_COVER_LEVEL = 9  # ~0.7 deg cells: fine enough to hug boundaries,
+# coarse enough that planet-scale covers stay broadcastable
+
+
+def cover_df(spark: SparkSession, polys: list[Polygon], level: int) -> DataFrame:
+    """(boundary_id, cell) exact-superset cover of every non-empty polygon."""
+    rows = []
+    for p in polys:
+        if p.n_segments == 0:
+            continue
+        for c in polygon_cover(p, level).tolist():
+            rows.append((p.boundary_id, c))
+    return spark.createDataFrame(rows, schema="boundary_id LONG, cell LONG")
+
+
+def _pip_refine_udf(spark: SparkSession, polys: list[Polygon]):
+    """pandas UDF (x, y, boundary_id) -> position int8, geometry via
+    a broadcast variable (one copy per executor, not per row)."""
+    geo = {
+        p.boundary_id: (p.p0x, p.p0y, p.p1x, p.p1y, np.array(p.bbox, dtype=np.int64))
+        for p in polys
+    }
+    bc = spark.sparkContext.broadcast(geo)
+
+    @F.pandas_udf(T.IntegerType())
+    def refine(x: pd.Series, y: pd.Series, bid: pd.Series) -> pd.Series:
+        from osmgraft.geometry import pip_batch  # executor-side import
+
+        xs = x.to_numpy(dtype=np.int64)
+        ys = y.to_numpy(dtype=np.int64)
+        bs = bid.to_numpy(dtype=np.int64)
+        out = np.zeros(len(xs), dtype=np.int32)
+        g = bc.value
+        for b in np.unique(bs):
+            m = bs == b
+            p0x, p0y, p1x, p1y, bbox = g[int(b)]
+            px, py = xs[m], ys[m]
+            inb = (px >= bbox[0]) & (py >= bbox[1]) & (px <= bbox[2]) & (py <= bbox[3])
+            r = np.zeros(px.size, dtype=np.int8)
+            if inb.any():
+                # chunk to bound the (points x segments) block size
+                idx = np.nonzero(inb)[0]
+                step = max(1, 2_000_000 // max(1, p0x.size))
+                for s in range(0, idx.size, step):
+                    sel = idx[s : s + step]
+                    r[sel] = pip_batch(px[sel], py[sel], p0x, p0y, p1x, p1y)
+            out[m] = r
+        return pd.Series(out)
+
+    return refine
+
+
+def spatial_join(
+    spark: SparkSession,
+    points: DataFrame,
+    polys: list[Polygon],
+    level: int = DEFAULT_COVER_LEVEL,
+    keep_position: bool = False,
+) -> DataFrame:
+    """points(.. lon_e7, lat_e7 ..) x polygons -> one row per (point,
+    boundary) match.  Multi-assign (a point can match several
+    boundaries); BOUNDARY counts as a match (``osmc/obm.c:28-30``).
+    """
+    pt = points.withColumn(
+        "cell", cells.lonlat_cell_col(F.col("lon_e7"), F.col("lat_e7"), level)
+    )
+    cov = cover_df(spark, polys, level)
+    cand = pt.join(F.broadcast(cov), "cell")
+
+    refine = _pip_refine_udf(spark, [p for p in polys if p.n_segments > 0])
+    refined = (
+        cand.withColumn(
+            "position", refine(F.col("lon_e7"), F.col("lat_e7"), F.col("boundary_id"))
+        )
+        .filter(F.col("position") != OUTSIDE)
+        .drop("cell")
+    )
+
+    empty_ids = [p.boundary_id for p in polys if p.n_segments == 0]
+    if empty_ids:
+        empties = spark.createDataFrame(
+            [(i,) for i in empty_ids], schema="boundary_id LONG"
+        )
+        from .geometry import INSIDE
+
+        full = points.crossJoin(F.broadcast(empties)).withColumn(
+            "position", F.lit(INSIDE)
+        )
+        refined = refined.unionByName(full.select(*refined.columns))
+
+    return refined if keep_position else refined.drop("position")
+
+
+# ---------------------------------------------------------------------------
+# kNN via k-ring expansion + exact integer distance refine (SURVEY.md J9)
+# ---------------------------------------------------------------------------
+
+
+def _disk_offsets_df(spark: SparkSession, r: int) -> DataFrame:
+    """Chebyshev disk offsets max(|dx|,|dy|) <= r (no wrap: kNN runs in
+    flat e7 space, matching the reference kd-tree's geometry)."""
+    rows = [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)]
+    return spark.createDataFrame(rows, schema="dx LONG, dy LONG")
+
+
+def knn(
+    spark: SparkSession,
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    level: int = 6,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """For each query row (qid, lon_e7, lat_e7) the k nearest point rows
+    (pid, lon_e7, lat_e7) by exact squared euclidean distance in e7 units
+    (DECIMAL(38,0) — dx^2 overflows int64 at antipodal range), ties broken
+    by pid.  Iteratively widens the candidate ring; a query is finished
+    once its k-th distance is certified by the ring guarantee
+    (any point beyond ring r is at distance > r * cell_extent).
+    """
+    cell_w = cells.WORLD // (1 << level)  # lon cell extent in e7 units
+
+    pt = points.select(
+        F.col("pid"),
+        F.col("lon_e7").alias("px"),
+        F.col("lat_e7").alias("py"),
+        cells.axis_tile_col(F.col("lon_e7"), level).alias("cx"),
+        cells.axis_tile_col(F.col("lat_e7"), level).alias("cy"),
+    )
+    qt = queries.select(
+        F.col("qid"),
+        F.col("lon_e7").alias("qx"),
+        F.col("lat_e7").alias("qy"),
+        cells.axis_tile_col(F.col("lon_e7"), level).alias("qcx"),
+        cells.axis_tile_col(F.col("lat_e7"), level).alias("qcy"),
+    ).cache()
+
+    out_schema = (
+        "qid LONG, qcx LONG, qcy LONG, qx LONG, qy LONG, pid LONG, "
+        "dist2 DECIMAL(38,0), rank INT"
+    )
+    results = spark.createDataFrame([], schema=out_schema)
+    pending = qt
+    r = 1
+    w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), F.col("pid").asc())
+    for _ in range(max_rounds):
+        if pending.isEmpty():
+            break
+        offs = _disk_offsets_df(spark, r)
+        cand = (
+            pending.crossJoin(F.broadcast(offs))
+            .withColumn("cx", F.col("qcx") + F.col("dx"))
+            .withColumn("cy", F.col("qcy") + F.col("dy"))
+            .join(pt, ["cx", "cy"])
+        )
+        dx = (F.col("px") - F.col("qx")).cast("decimal(19,0)")
+        dy = (F.col("py") - F.col("qy")).cast("decimal(19,0)")
+        cand = cand.select(
+            "qid", "qcx", "qcy", "qx", "qy", "pid",
+            (dx * dx + dy * dy).cast("decimal(38,0)").alias("dist2"),
+        )
+        ranked = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .cache()
+        )
+        # certification: k-th distance within the ring guarantee radius
+        # (any non-candidate point is > r * cell_w away on some axis)
+        g2 = (int(r) * int(cell_w)) ** 2
+        done_ids = (
+            ranked.groupBy("qid")
+            .agg(F.count("*").alias("n"), F.max("dist2").alias("kth"))
+            .filter((F.col("n") >= k) & (F.col("kth") <= F.lit(g2).cast("decimal(38,0)")))
+            .select("qid")
+        )
+        finished = ranked.join(F.broadcast(done_ids), "qid", "left_semi")
+        results = results.unionByName(finished)
+        pending = pending.join(F.broadcast(done_ids), "qid", "left_anti")
+        r *= 2
+
+    if not pending.isEmpty():
+        # brute-force fallback for queries the ring search never certified
+        # (e.g. k > points in a huge radius) — exact, small remainder
+        rest = pending.crossJoin(pt)
+        dx = (F.col("px") - F.col("qx")).cast("decimal(19,0)")
+        dy = (F.col("py") - F.col("qy")).cast("decimal(19,0)")
+        rest = rest.select(
+            "qid", "qcx", "qcy", "qx", "qy", "pid",
+            (dx * dx + dy * dy).cast("decimal(38,0)").alias("dist2"),
+        )
+        rest = rest.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        results = results.unionByName(rest)
+
+    return results.select("qid", "pid", "rank", "dist2")

@@ -1,0 +1,54 @@
+"""Extraction tests: UDTF-shaped mapInPandas, byte-identical slices."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft import synth
+from osmgraft.extract import extract_entities
+
+pytestmark = pytest.mark.spark
+
+
+def test_extracted_entities_match_arithmetic_derivation(spark, sf_dir):
+    pages = synth.pages_df(spark, sf_dir)
+    got = extract_entities(pages)
+    want = synth.geo_entities_df(spark, sf_dir)
+    g = {
+        (r.doc_id, r.ent_idx, r.name, r.lat_e7, r.lon_e7)
+        for r in got.select("doc_id", "ent_idx", "name", "lat_e7", "lon_e7").collect()
+    }
+    w = {
+        (r.doc_id, r.ent_idx, r.name, r.lat_e7, r.lon_e7)
+        for r in want.collect()
+    }
+    assert g == w
+    assert len(g) > 0
+
+
+def test_mention_bytes_are_exact_slices(spark, sf_dir):
+    """Byte-identity invariant: every extracted mention is an exact byte
+    slice of the page text (the reference's lossless-UTF contract)."""
+    pages = synth.pages_df(spark, sf_dir)
+    ents = extract_entities(pages)
+    joined = (
+        ents.alias("e")
+        .join(pages.select("url", "text").alias("p"), "url")
+        .select("e.mention", "p.text")
+        .collect()
+    )
+    assert joined
+    multibyte = 0
+    for r in joined:
+        assert bytes(r.mention) in r.text.encode("utf-8")
+        if max(bytes(r.mention)) > 127:
+            multibyte += 1
+    assert multibyte > 0, "multi-byte UTF-8 names not exercised"
+
+
+def test_no_mention_docs_yield_no_entities(spark, sf_dir):
+    pages = synth.pages_df(spark, sf_dir)
+    ents = extract_entities(pages)
+    bad = ents.filter((F.col("doc_id") % 7) == 0).count()
+    assert bad == 0

@@ -1,0 +1,90 @@
+"""End-to-end spatial join + kNN vs pure-Python oracles (golden fixtures)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft import synth
+from osmgraft.geometry import pip_matches
+from osmgraft.join import knn, spatial_join
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def entities(spark, sf_dir):
+    return synth.geo_entities_df(spark, sf_dir).cache()
+
+
+def test_spatial_join_matches_oracle(spark, entities):
+    polys = synth.boundaries()
+    got = (
+        spatial_join(spark, entities, polys)
+        .select("doc_id", "ent_idx", "boundary_id")
+        .collect()
+    )
+    got_set = {(r.doc_id, r.ent_idx, r.boundary_id) for r in got}
+    assert len(got) == len(got_set), "duplicate match rows"
+
+    pts = entities.select("doc_id", "ent_idx", "lon_e7", "lat_e7").collect()
+    xs = np.array([r.lon_e7 for r in pts], dtype=np.int64)
+    ys = np.array([r.lat_e7 for r in pts], dtype=np.int64)
+    want = set()
+    for p in polys:
+        m = pip_matches(xs, ys, p)
+        for i in np.nonzero(m)[0]:
+            want.add((pts[int(i)].doc_id, pts[int(i)].ent_idx, p.boundary_id))
+    assert got_set == want
+    # sanity: the fixture actually exercises the interesting cases
+    assert any(b == 5 for _, _, b in want), "empty FULL polygon rows missing"
+    counts = {}
+    for d, e, b in want:
+        counts[(d, e)] = counts.get((d, e), 0) + 1
+    assert max(counts.values()) >= 3, "multi-assign not exercised"
+
+
+def test_boundary_points_match(spark, entities):
+    """Pinned vertex/edge docs must land as BOUNDARY matches (inside)."""
+    polys = synth.boundaries()
+    res = spatial_join(spark, entities, polys, keep_position=True)
+    pinned = (
+        entities.filter(
+            (F.col("doc_id") % 101 == 0) & (F.col("doc_id") % 7 != 0)
+            & (F.col("ent_idx") == 0)
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert pinned, "fixture has no pinned docs"
+    from osmgraft.geometry import BOUNDARY
+
+    bd = res.filter((F.col("position") == BOUNDARY) & (F.col("boundary_id") == 1))
+    bd_ids = {r.doc_id for r in bd.select("doc_id").collect()}
+    for r in pinned:
+        assert r.doc_id in bd_ids
+
+
+def test_knn_matches_bruteforce(spark, entities):
+    pts = entities.select(
+        (F.col("doc_id") * 10 + F.col("ent_idx")).alias("pid"), "lon_e7", "lat_e7"
+    )
+    qs = pts.filter(F.col("pid") < 300).select(
+        F.col("pid").alias("qid"), "lon_e7", "lat_e7"
+    )
+    k = 5
+    got = knn(spark, qs, pts, k=k).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rank, r.pid, int(r.dist2)))
+
+    # brute-force oracle
+    prows = pts.collect()
+    qrows = qs.collect()
+    P = np.array([(r.pid, r.lon_e7, r.lat_e7) for r in prows], dtype=np.int64)
+    for q in qrows:
+        d2 = (P[:, 1] - q.lon_e7).astype(object) ** 2 + (
+            P[:, 2] - q.lat_e7
+        ).astype(object) ** 2
+        order = sorted(zip(d2, P[:, 0].tolist()))[:k]
+        want = [(i + 1, pid, int(d)) for i, (d, pid) in enumerate(order)]
+        assert sorted(by_q[q.qid]) == want, f"qid={q.qid}"
