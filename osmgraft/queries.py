@@ -113,15 +113,25 @@ def geo_tile_assign(spark, sf_dir):
     )
 
 
-def _pip_oracle_sql() -> str:
+def pip_sql(pts_sql: str, id_cols: str, include_empty: bool = True) -> str:
+    """Reusable DuckDB oracle for the exact ray-cast PIP join: given a
+    points CTE (must expose ``lon_e7``/``lat_e7`` plus ``id_cols``),
+    emits SELECT {id_cols}, boundary_id of every match (BOUNDARY counts;
+    empty polygons match everything)."""
     segs = synth.segments_sql_values()
-    empties = synth.empty_boundary_ids()
-    empty_union = "\n".join(
-        f"UNION ALL SELECT doc_id, ent_idx, CAST({b} AS BIGINT) AS boundary_id FROM pts"
-        for b in empties
+    empty_union = (
+        "\n".join(
+            f"UNION ALL SELECT {id_cols}, CAST({b} AS BIGINT) AS boundary_id FROM pts"
+            for b in synth.empty_boundary_ids()
+        )
+        if include_empty
+        else ""
     )
+    # the union lives inside a FROM-subquery: a nested WITH only binds to
+    # the first branch of a top-level UNION in DuckDB, which would break
+    # this oracle when embedded as a CTE body
     return f"""
-    WITH pts AS ({_PTS}),
+    WITH pts AS ({pts_sql}),
     segs_raw(boundary_id, p0x, p0y, p1x, p1y) AS (VALUES {segs}),
     segs AS (
       SELECT CAST(boundary_id AS BIGINT) AS boundary_id,
@@ -134,7 +144,7 @@ def _pip_oracle_sql() -> str:
              MAX(GREATEST(p0x, p1x)) AS maxx, MAX(GREATEST(p0y, p1y)) AS maxy
       FROM segs GROUP BY 1),
     cand AS (
-      SELECT p.doc_id, p.ent_idx, s.boundary_id,
+      SELECT p.*, s.boundary_id,
         CASE
           WHEN (p.lon_e7 = s.p0x AND p.lat_e7 = s.p0y)
             OR (p.lon_e7 = s.p1x AND p.lat_e7 = s.p1y) THEN 2
@@ -156,17 +166,19 @@ def _pip_oracle_sql() -> str:
                  AND p.lat_e7 BETWEEN b.miny AND b.maxy
       JOIN segs s ON s.boundary_id = b.boundary_id),
     agg AS (
-      SELECT doc_id, ent_idx, boundary_id,
+      SELECT {id_cols}, boundary_id,
              MAX(CASE WHEN et = 2 THEN 1 ELSE 0 END) AS touched,
              SUM(CASE WHEN et = 1 THEN 1 ELSE 0 END) % 2 AS par
-      FROM cand GROUP BY 1, 2, 3)
-    SELECT doc_id, ent_idx, CAST(boundary_id AS BIGINT) AS boundary_id
-    FROM agg WHERE touched = 1 OR par = 1
-    {empty_union}
+      FROM cand GROUP BY ALL)
+    SELECT * FROM (
+      SELECT {id_cols}, CAST(boundary_id AS BIGINT) AS boundary_id
+      FROM agg WHERE touched = 1 OR par = 1
+      {empty_union}
+    ) pip_res
     """
 
 
-@_register("geo_pip_join", _pip_oracle_sql())
+@_register("geo_pip_join", pip_sql(_PTS, "doc_id, ent_idx"))
 def geo_pip_join(spark, sf_dir):
     """Flagship: cell-prefiltered ray-cast point-in-polygon spatial join."""
     pts = synth.geo_entities_df(spark, sf_dir)
@@ -406,3 +418,407 @@ def ann_topk(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("qid", "pid", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mapper stage: classification, zoom tables, tile pyramid (osmc/mapper.c)
+# ---------------------------------------------------------------------------
+
+from . import osm_fixtures, tiles  # noqa: E402
+from .closure import (  # noqa: E402
+    multipolygon_rings,
+    relation_closure,
+    relation_member_filter,
+    way_clip_resequence,
+    way_region_semijoin,
+)
+
+# node class/zoom by doc_id % 14 (osm_fixtures.NODE_TAG_BRANCHES order)
+_NODE_CLASS_SQL = """
+    CASE doc_id % 14
+      WHEN 0 THEN 'Amenity' WHEN 1 THEN 'Shop' WHEN 2 THEN 'Tourism'
+      WHEN 3 THEN 'Historic' WHEN 4 THEN 'Power'
+      WHEN 5 THEN 'Place' WHEN 6 THEN 'Place' WHEN 7 THEN 'Place'
+      WHEN 8 THEN 'Place'
+      WHEN 9 THEN 'TrafficSignals' WHEN 10 THEN 'Crossing'
+      WHEN 11 THEN 'Crossing' END
+"""
+_NODE_MINZ_SQL = (
+    "CASE doc_id % 14 WHEN 5 THEN 5 WHEN 6 THEN 7 WHEN 7 THEN 11 ELSE 14 END"
+)
+_NODE_MAXZ_SQL = (
+    "CASE doc_id % 14 WHEN 5 THEN 11 WHEN 6 THEN 12 WHEN 7 THEN 14 ELSE 18 END"
+)
+
+_NODE_FEATURES_SQL = f"""
+    SELECT doc_id AS id, {synth.LON_EXPR} AS lon_e7, {synth.LAT_EXPR} AS lat_e7,
+           {_NODE_CLASS_SQL} AS class,
+           CAST({_NODE_MINZ_SQL} AS INT) AS minz,
+           CAST({_NODE_MAXZ_SQL} AS INT) AS maxz
+    FROM documents WHERE doc_id % 14 NOT IN (12, 13)
+"""
+
+
+@_register(
+    "node_classify_zoom",
+    f"SELECT id, class, minz, maxz FROM ({_NODE_FEATURES_SQL})",
+)
+def node_classify_zoom(spark, sf_dir):
+    """P6 point classification + P10 zoom table over tag maps."""
+    nodes = osm_fixtures.nodes_df(spark, sf_dir)
+    return tiles.classify_points(nodes).select(
+        "id", "class",
+        F.col("minz").cast("int").alias("minz"),
+        F.col("maxz").cast("int").alias("maxz"),
+    )
+
+
+@_register(
+    "point_zoom_histogram",
+    f"""
+    WITH f AS ({_NODE_FEATURES_SQL})
+    SELECT CAST(z AS INT) AS z, COUNT(*) AS n_features
+    FROM f, UNNEST(generate_series(f.minz, f.maxz)) AS t(z)
+    GROUP BY 1
+    """,
+)
+def point_zoom_histogram(spark, sf_dir):
+    """A3: the reference's per-zoom feature histogram (mapper.c:759-767)."""
+    nodes = osm_fixtures.nodes_df(spark, sf_dir)
+    feats = tiles.classify_points(nodes)
+    return tiles.zoom_histogram(feats).select(
+        F.col("z").cast("int").alias("z"), "n_features"
+    )
+
+
+@_register(
+    "tile_pyramid",
+    f"""
+    WITH f AS ({_NODE_FEATURES_SQL}),
+    fz AS (SELECT f.*, CAST(t.z AS INT) AS z
+           FROM f, UNNEST(generate_series(f.minz, f.maxz)) AS t(z)),
+    m AS (SELECT id, z, lon_e7, CAST({_MERC_SQL} AS BIGINT) AS my FROM fz)
+    SELECT id, z,
+      CAST(GREATEST(0, LEAST((1::BIGINT << z) - 1,
+        ((lon_e7 + 1800000000) * (1::BIGINT << z)) // 3600000000)) AS BIGINT) AS tile_x,
+      CAST(GREATEST(0, LEAST((1::BIGINT << z) - 1,
+        ((my + 1800000000) * (1::BIGINT << z)) // 3600000000)) AS BIGINT) AS tile_y
+    FROM m
+    """,
+)
+def tile_pyramid(spark, sf_dir):
+    """Zoom-pyramid explode: one (feature, z, tile) row per covered zoom."""
+    nodes = osm_fixtures.nodes_df(spark, sf_dir)
+    feats = tiles.classify_points(nodes)
+    return tiles.explode_pyramid(feats).select(
+        "id", F.col("z").cast("int").alias("z"), "tile_x", "tile_y"
+    )
+
+
+@_register(
+    "tile_rollup",
+    f"""
+    WITH pts AS ({_PTS}),
+    m AS (SELECT doc_id, ent_idx, lon_e7, CAST({_MERC_SQL} AS BIGINT) AS my FROM pts),
+    levels AS (SELECT CAST(z AS INT) AS z FROM UNNEST(generate_series(6, 12)) AS t(z))
+    SELECT z,
+      CAST(((lon_e7 + 1800000000) * (1::BIGINT << z)) // 3600000000 AS BIGINT) AS tile_x,
+      CAST(((my + 1800000000) * (1::BIGINT << z)) // 3600000000 AS BIGINT) AS tile_y,
+      COUNT(*) AS n
+    FROM m CROSS JOIN levels
+    GROUP BY 1, 2, 3
+    """,
+)
+def tile_rollup(spark, sf_dir):
+    """A7 raster rollup: z12 tile counts aggregated level-by-level to z6."""
+    pts = synth.geo_entities_df(spark, sf_dir)
+    tx, ty = cells.mercator_tile_cols(F.col("lon_e7"), F.col("lat_e7"), 12)
+    z12 = pts.select(
+        F.lit(12).cast("int").alias("z"), tx.alias("tile_x"), ty.alias("tile_y")
+    )
+    return tiles.rollup_tiles(z12, from_z=12, to_z=6).select(
+        F.col("z").cast("int").alias("z"), "tile_x", "tile_y", "n"
+    )
+
+
+# --- ways: routing, classification, zoom (P7-P9, P11-P12) -------------------
+
+_WAY_SHAPE_SQL = """
+    SELECT o.o_orderkey AS way_id, o.o_orderkey % 17 AS b,
+           o.o_orderkey % 12 AS admin, n.cnt,
+           CASE WHEN o.o_orderkey % 3 = 0 THEN n.cnt + 1 >= 3
+                ELSE n.cnt >= 3 AND n.first_p = n.last_p END AS cycled
+    FROM orders o
+    JOIN (SELECT l_orderkey, COUNT(*) AS cnt,
+                 arg_min(l_partkey, CAST(l_linenumber AS BIGINT) * 1000000000 + l_partkey) AS first_p,
+                 arg_max(l_partkey, CAST(l_linenumber AS BIGINT) * 1000000000 + l_partkey) AS last_p
+          FROM lineitem GROUP BY 1) n ON n.l_orderkey = o.o_orderkey
+"""
+
+_WAY_ROUTE_SQL = f"""
+    WITH w AS ({_WAY_SHAPE_SQL}),
+    r AS (
+      SELECT way_id,
+        CASE
+          WHEN b <= 8 THEN 'way' WHEN b IN (9, 10, 11, 13) THEN 'way'
+          WHEN b IN (12, 14, 15) AND cycled THEN 'area'
+          ELSE 'drop' END AS kind,
+        CASE
+          WHEN b <= 8 THEN 'Highway' WHEN b = 9 THEN 'Boundary'
+          WHEN b = 10 THEN 'Railway' WHEN b = 11 THEN 'Waterway'
+          WHEN b = 13 THEN 'PowerWay'
+          WHEN b = 12 AND cycled THEN 'Water'
+          WHEN b = 14 AND cycled THEN 'Building'
+          WHEN b = 15 AND cycled THEN 'Leisure' END AS class,
+        CASE
+          WHEN b = 0 THEN 4 WHEN b = 1 THEN 5 WHEN b = 2 THEN 5
+          WHEN b = 3 THEN 7 WHEN b = 4 THEN 7 WHEN b = 5 THEN 9
+          WHEN b = 6 THEN 9 WHEN b = 7 THEN 12 WHEN b = 8 THEN 10
+          WHEN b = 9 THEN CASE
+            WHEN admin BETWEEN 1 AND 4 THEN 0
+            WHEN admin BETWEEN 5 AND 6 THEN 4
+            WHEN admin BETWEEN 7 AND 8 THEN 6
+            WHEN admin BETWEEN 9 AND 10 THEN 8
+            WHEN admin > 10 THEN 9 ELSE 11 END
+          WHEN b IN (10, 11, 13) THEN 11
+          WHEN b = 12 AND cycled THEN 10
+          WHEN b = 14 AND cycled THEN 12
+          WHEN b = 15 AND cycled THEN 10 END AS minz
+      FROM w)
+    SELECT way_id, kind, class,
+           CAST(minz AS INT) AS minz,
+           CAST(CASE WHEN kind = 'drop' THEN NULL ELSE 18 END AS INT) AS maxz
+    FROM r
+"""
+
+
+@_register("way_route_classify", _WAY_ROUTE_SQL)
+def way_route_classify(spark, sf_dir):
+    """P7-P9 + P11-P12: way/area routing with classes and zoom ranges."""
+    ways = osm_fixtures.ways_df(spark, sf_dir)
+    routed = tiles.route_ways(ways)
+    return routed.select(
+        "way_id", "kind", "class",
+        F.col("minz").cast("int").alias("minz"),
+        F.col("maxz").cast("int").alias("maxz"),
+    )
+
+
+# --- way <-> region joins (J2/J3) over part-point node regions --------------
+
+_PART_PTS = f"""
+    SELECT p_partkey AS node_id, {osm_fixtures.PART_LON_EXPR} AS lon_e7,
+           {osm_fixtures.PART_LAT_EXPR} AS lat_e7
+    FROM part
+"""
+_PART_REGIONS_SQL = pip_sql(_PART_PTS, "node_id")
+
+
+def _part_node_regions(spark, sf_dir):
+    pts = osm_fixtures.part_points_df(spark, sf_dir)
+    return spatial_join(spark, pts, synth.boundaries()).select(
+        "node_id", "boundary_id"
+    )
+
+
+@_register(
+    "way_boundary_semijoin",
+    f"""
+    WITH nr AS ({_PART_REGIONS_SQL})
+    SELECT DISTINCT l.l_orderkey AS way_id, nr.boundary_id
+    FROM lineitem l JOIN nr ON nr.node_id = l.l_partkey
+    """,
+)
+def way_boundary_semijoin(spark, sf_dir):
+    """J2: way belongs to every region containing any of its nodes."""
+    wn = osm_fixtures.way_nodes_df(spark, sf_dir)
+    return way_region_semijoin(wn, _part_node_regions(spark, sf_dir))
+
+
+@_register(
+    "way_clip_resequence",
+    f"""
+    WITH nr AS ({_PART_REGIONS_SQL})
+    SELECT l.l_orderkey AS way_id, nr.boundary_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY l.l_orderkey, nr.boundary_id
+             ORDER BY l.l_linenumber, l.l_partkey) - 1 AS INT) AS new_seq,
+           l.l_partkey AS node_id
+    FROM lineitem l JOIN nr ON nr.node_id = l.l_partkey
+    """,
+)
+def way_clip_resequence_q(spark, sf_dir):
+    """J3: region-clipped way nodes, densely re-sequenced from 0."""
+    wn = osm_fixtures.way_nodes_df(spark, sf_dir)
+    return way_clip_resequence(wn, _part_node_regions(spark, sf_dir)).select(
+        "way_id", "boundary_id",
+        F.col("new_seq").cast("int").alias("new_seq"), "node_id",
+    )
+
+
+# --- relation closure (J4) and member filter (J5) ---------------------------
+
+_NODE_PTS = f"""
+    SELECT doc_id AS node_id, {synth.LON_EXPR} AS lon_e7,
+           {synth.LAT_EXPR} AS lat_e7
+    FROM documents
+"""
+_DOC_NODE_REGIONS_SQL = pip_sql(_NODE_PTS, "node_id")
+
+_REL_EDGES_SQL = """
+    SELECT CAST(n_nationkey AS BIGINT) AS relation_id,
+           CAST(n_nationkey * 20 + 3 AS BIGINT) AS ref, 'node' AS mtype
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey * 13 + 1 AS BIGINT), 'way'
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey - 1 AS BIGINT), 'relation'
+    FROM nation WHERE n_nationkey % 3 = 0 AND n_nationkey > 0
+    UNION ALL
+    SELECT CAST(21 AS BIGINT), CAST(22 AS BIGINT), 'relation' FROM nation WHERE n_nationkey = 21
+    UNION ALL
+    SELECT CAST(22 AS BIGINT), CAST(21 AS BIGINT), 'relation' FROM nation WHERE n_nationkey = 22
+"""
+
+_CLOSURE_SQL = f"""
+    WITH RECURSIVE
+    nr AS ({_DOC_NODE_REGIONS_SQL}),
+    wr AS (
+      SELECT DISTINCT l.l_orderkey AS way_id, pr.boundary_id
+      FROM lineitem l JOIN ({_PART_REGIONS_SQL}) pr ON pr.node_id = l.l_partkey),
+    e AS ({_REL_EDGES_SQL}),
+    accepted(relation_id, boundary_id) AS (
+      SELECT e.relation_id, nr.boundary_id FROM e
+        JOIN nr ON e.mtype = 'node' AND nr.node_id = e.ref
+      UNION
+      SELECT e.relation_id, wr.boundary_id FROM e
+        JOIN wr ON e.mtype = 'way' AND wr.way_id = e.ref
+      UNION
+      SELECT e.relation_id, a.boundary_id FROM e
+        JOIN accepted a ON e.mtype = 'relation' AND a.relation_id = e.ref)
+    SELECT DISTINCT relation_id, boundary_id FROM accepted
+"""
+
+
+def _closure_inputs(spark, sf_dir):
+    rels = osm_fixtures.relations_df(spark, sf_dir).filter(
+        F.col("relation_id") < 100
+    )
+    nodes = osm_fixtures.nodes_df(spark, sf_dir).select(
+        F.col("id").alias("node_id"), "lon_e7", "lat_e7"
+    )
+    node_regions = spatial_join(spark, nodes, synth.boundaries()).select(
+        "node_id", "boundary_id"
+    )
+    wn = osm_fixtures.way_nodes_df(spark, sf_dir)
+    way_regions = way_region_semijoin(wn, _part_node_regions(spark, sf_dir))
+    return rels, node_regions, way_regions
+
+
+@_register("relation_closure", _CLOSURE_SQL)
+def relation_closure_q(spark, sf_dir):
+    """J4: transitive membership fixpoint (nested relations, cycles)."""
+    rels, node_regions, way_regions = _closure_inputs(spark, sf_dir)
+    return relation_closure(rels, node_regions, way_regions)
+
+
+@_register(
+    "relation_member_filter",
+    f"""
+    WITH RECURSIVE
+    nr AS ({_DOC_NODE_REGIONS_SQL}),
+    wr AS (
+      SELECT DISTINCT l.l_orderkey AS way_id, pr.boundary_id
+      FROM lineitem l JOIN ({_PART_REGIONS_SQL}) pr ON pr.node_id = l.l_partkey),
+    e AS ({_REL_EDGES_SQL}),
+    accepted(relation_id, boundary_id) AS (
+      SELECT e.relation_id, nr.boundary_id FROM e
+        JOIN nr ON e.mtype = 'node' AND nr.node_id = e.ref
+      UNION
+      SELECT e.relation_id, wr.boundary_id FROM e
+        JOIN wr ON e.mtype = 'way' AND wr.way_id = e.ref
+      UNION
+      SELECT e.relation_id, a.boundary_id FROM e
+        JOIN accepted a ON e.mtype = 'relation' AND a.relation_id = e.ref),
+    mem AS (
+      SELECT relation_id, ref, mtype,
+             CAST(CASE mtype WHEN 'node' THEN 0 WHEN 'way' THEN 1 ELSE 2 END
+                  AS INT) AS seq
+      FROM e),
+    kept AS (
+      SELECT m.relation_id, a.boundary_id, m.seq, m.ref, m.mtype
+      FROM mem m JOIN accepted a ON a.relation_id = m.relation_id
+      WHERE (m.mtype = 'node' AND EXISTS (
+               SELECT 1 FROM nr WHERE nr.node_id = m.ref
+                  AND nr.boundary_id = a.boundary_id))
+         OR (m.mtype = 'way' AND EXISTS (
+               SELECT 1 FROM wr WHERE wr.way_id = m.ref
+                  AND wr.boundary_id = a.boundary_id))
+         OR (m.mtype = 'relation' AND EXISTS (
+               SELECT 1 FROM accepted a2 WHERE a2.relation_id = m.ref
+                  AND a2.boundary_id = a.boundary_id)))
+    SELECT relation_id, boundary_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY relation_id, boundary_id
+                                   ORDER BY seq) - 1 AS INT) AS new_seq,
+           ref, mtype
+    FROM kept
+    """,
+)
+def relation_member_filter_q(spark, sf_dir):
+    """J5: accepted relations keep only in-region members, re-sequenced."""
+    rels, node_regions, way_regions = _closure_inputs(spark, sf_dir)
+    accepted = relation_closure(rels, node_regions, way_regions)
+    return relation_member_filter(
+        rels, accepted, node_regions, way_regions
+    ).select("relation_id", "boundary_id", "new_seq", "ref", "mtype")
+
+
+@_register(
+    "multipolygon_assembly",
+    f"""
+    WITH mem AS (
+      SELECT CAST(n_nationkey + 100 AS BIGINT) AS relation_id,
+             CAST(n_nationkey * 9 + 3 AS BIGINT) AS way_id, 'outer' AS ring_role
+      FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey + 100 AS BIGINT),
+             CAST(n_nationkey * 9 + 6 AS BIGINT), 'outer' FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey + 100 AS BIGINT),
+             CAST(n_nationkey * 9 + 12 AS BIGINT), 'inner' FROM nation),
+    wnodes AS (
+      SELECT m.relation_id, m.way_id, m.ring_role, l.l_partkey AS node_id,
+             l.l_linenumber
+      FROM mem m
+      JOIN orders o ON o.o_orderkey = m.way_id
+      JOIN lineitem l ON l.l_orderkey = m.way_id),
+    ring AS (
+      SELECT w.relation_id, w.way_id, w.ring_role, w.node_id, w.l_linenumber,
+             pp.lon_e7, pp.lat_e7
+      FROM wnodes w JOIN ({_PART_PTS}) pp ON pp.node_id = w.node_id),
+    base AS (
+      SELECT r1.relation_id, r1.way_id, r1.ring_role, r1.node_id,
+             r1.lon_e7, r1.lat_e7
+      FROM ring r1
+      UNION ALL
+      SELECT relation_id, way_id, ring_role, node_id, lon_e7, lat_e7
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY relation_id, way_id
+                                         ORDER BY l_linenumber) AS rn
+            FROM ring)
+      WHERE rn = 1 AND way_id % 3 = 0)
+    SELECT relation_id,
+           COUNT(DISTINCT CASE WHEN ring_role = 'outer' THEN way_id END) AS n_outer,
+           COUNT(DISTINCT CASE WHEN ring_role = 'inner' THEN way_id END) AS n_inner,
+           COUNT(*) AS n_ring_nodes,
+           MIN(lon_e7) AS minx, MIN(lat_e7) AS miny,
+           MAX(lon_e7) AS maxx, MAX(lat_e7) AS maxy
+    FROM base GROUP BY 1
+    """,
+)
+def multipolygon_assembly(spark, sf_dir):
+    """J7: multipolygon ring assembly through the J6 coord-resolution join."""
+    rels = osm_fixtures.relations_df(spark, sf_dir)
+    ways = osm_fixtures.ways_df(spark, sf_dir)
+    pp = osm_fixtures.part_points_df(spark, sf_dir)
+    return multipolygon_rings(rels, ways, pp)

@@ -1,0 +1,237 @@
+"""Classification, zoom-range assignment, and the zoom tile pyramid.
+
+Re-expresses the reference's mapper stage (``osmc/mapper.c``) as pure
+``F.when`` chains and explode/groupBy pipelines — everything JVM-side
+inside whole-stage codegen; no Python in the hot path.
+
+Decision tables transcribed exactly:
+  * point class  — first-match over tag keys (``mapper.c:545-567``)
+  * way class    — ``mapper.c:591-608`` (power=line, boundary, highway,
+                   railway, waterway != riverbank)
+  * area class   — ``mapper.c:610-631`` (incl. any-tags fallback "Area")
+  * way/area routing — ``area=yes`` override, else way class, else
+                   ring-closed => area (``mapper.c:640-659``)
+  * point zoom   — place city/town/hamlet table (``mapper.c:235-265``)
+  * way zoom     — highway table + boundary admin_level switch
+                   (``mapper.c:315-372``)
+  * area zoom    — building/sport/water/landuse/natural (``mapper.c:397-418``)
+MAX_ZOOM_LEVEL = 18 (``osmc/utils.h:19``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import cells
+
+MAX_ZOOM = 18
+
+
+def _t(key: str) -> Column:
+    return F.col("tags").getItem(key)
+
+
+def point_class() -> Column:
+    """osmc/mapper.c:545-567 — first-match tag-key rule chain."""
+    return (
+        F.when(_t("amenity").isNotNull(), "Amenity")
+        .when(_t("shop").isNotNull(), "Shop")
+        .when(_t("tourism").isNotNull(), "Tourism")
+        .when(_t("historic").isNotNull(), "Historic")
+        .when(_t("power").isNotNull(), "Power")
+        .when(_t("place").isNotNull(), "Place")
+        .when(_t("highway") == "traffic_signals", "TrafficSignals")
+        .when(
+            _t("crossing").isNotNull()
+            | (_t("highway") == "crossing")
+            | (_t("railway") == "crossing"),
+            "Crossing",
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def point_zoom_min() -> Column:
+    """osmc/mapper.c:235-250."""
+    return (
+        F.when(_t("place") == "city", 5)
+        .when(_t("place") == "town", 7)
+        .when(_t("place") == "hamlet", 11)
+        .otherwise(14)
+    )
+
+
+def point_zoom_max() -> Column:
+    """osmc/mapper.c:252-265."""
+    return (
+        F.when(_t("place") == "city", 11)
+        .when(_t("place") == "town", 12)
+        .when(_t("place") == "hamlet", 14)
+        .otherwise(MAX_ZOOM)
+    )
+
+
+def way_class() -> Column:
+    """osmc/mapper.c:591-608."""
+    return (
+        F.when(_t("power") == "line", "PowerWay")
+        .when(_t("boundary").isNotNull(), "Boundary")
+        .when(_t("highway").isNotNull(), "Highway")
+        .when(_t("railway").isNotNull(), "Railway")
+        .when(
+            _t("waterway").isNotNull() & (_t("waterway") != "riverbank"), "Waterway"
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def area_class() -> Column:
+    """osmc/mapper.c:610-631 (note the any-tags 'Area' fallback)."""
+    return (
+        F.when(_t("building").isNotNull(), "Building")
+        .when(_t("landuse").isNotNull(), "Landuse")
+        .when(_t("leisure").isNotNull(), "Leisure")
+        .when(_t("waterway") == "riverbank", "Water")
+        .when(_t("sport").isNotNull(), "Sport")
+        .when(_t("natural").isNotNull(), "Natural")
+        .when(_t("power").isNotNull(), "PowerArea")
+        .when(_t("amenity") == "parking", "Parking")
+        .when(F.size("tags") > 0, "Area")
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def way_zoom_min() -> Column:
+    """osmc/mapper.c:315-372 — highway table, then admin_level switch."""
+    admin = _t("admin_level").cast("int")
+    return (
+        F.when(_t("highway") == "trunk", 4)
+        .when(_t("highway").isin("motorway", "trunk_link"), 5)
+        .when(_t("highway").isin("primary", "motorway_link"), 7)
+        .when(_t("highway").isin("secondary", "primary_link"), 9)
+        .when(_t("highway") == "service", 12)
+        .when(_t("highway").isNotNull(), 10)
+        .when(
+            (_t("boundary") == "administrative") & admin.between(1, 4), 0
+        )
+        .when(
+            (_t("boundary") == "administrative") & admin.between(5, 6), 4
+        )
+        .when(
+            (_t("boundary") == "administrative") & admin.between(7, 8), 6
+        )
+        .when(
+            (_t("boundary") == "administrative") & admin.between(9, 10), 8
+        )
+        .when((_t("boundary") == "administrative") & (admin > 10), 9)
+        .otherwise(11)
+    )
+
+
+def area_zoom_min() -> Column:
+    """osmc/mapper.c:397-418."""
+    return (
+        F.when(_t("building").isNotNull(), 12)
+        .when(_t("sport").isNotNull(), 14)
+        .when(_t("water").isNotNull(), 4)
+        .when(_t("landuse").isNotNull(), 4)
+        .when(_t("natural").isNotNull(), 4)
+        .otherwise(10)
+    )
+
+
+def is_cycled(nodes: Column) -> Column:
+    """Ring closure: >=3 refs and first == last (osmc/mapper.c:642)."""
+    return (F.size(nodes) >= 3) & (
+        F.element_at(nodes, 1) == F.element_at(nodes, -1)
+    )
+
+
+def route_ways(ways: DataFrame) -> DataFrame:
+    """Way/area routing (osmc/mapper.c:640-659).
+
+    Adds: kind ('way' | 'area' | 'drop'), class, minz, maxz.
+    Rules: tagged & non-empty nodes required; ``area=yes`` only
+    *suppresses* the way classifier — the area path still requires ring
+    closure (``if(!saved && cycled)``, mapper.c:659).
+    """
+    cycled = is_cycled(F.col("nodes"))
+    forced_area = _t("area") == "yes"
+    wc, ac = way_class(), area_class()
+
+    eligible = (F.size("tags") > 0) & (F.size("nodes") > 0)
+    is_way = eligible & ~F.coalesce(forced_area, F.lit(False)) & wc.isNotNull()
+    is_area = eligible & ~is_way & cycled & ac.isNotNull()
+    kind = (
+        F.when(is_way, "way").when(is_area, "area").otherwise("drop")
+    )
+    klass = F.when(is_way, wc).when(is_area, ac)
+    minz = F.when(is_way, way_zoom_min()).when(is_area, area_zoom_min())
+    maxz = F.when(is_way | is_area, F.lit(MAX_ZOOM))
+    return ways.withColumns(
+        {"kind": kind, "class": klass, "minz": minz, "maxz": maxz}
+    )
+
+
+def classify_points(nodes: DataFrame) -> DataFrame:
+    """Tagged nodes with a class, plus zoom range (mapper.c:569-589)."""
+    return (
+        nodes.filter(F.size("tags") > 0)
+        .withColumn("class", point_class())
+        .filter(F.col("class").isNotNull())
+        .withColumn("minz", point_zoom_min())
+        .withColumn("maxz", point_zoom_max())
+    )
+
+
+def explode_pyramid(features: DataFrame) -> DataFrame:
+    """One row per (feature, z) for z in [minz, maxz] with tile coords —
+    the tile-assignment stage (zoom-ranged kd-tree analog, 2DTree.h:17-22).
+    """
+    out = features.withColumn("z", F.explode(F.sequence("minz", "maxz")))
+    # per-z tile coordinates via exact integer mercator gridding
+    merc = cells.mercator_y_col(F.col("lat_e7"))
+    n = F.expr("shiftleft(CAST(1 AS BIGINT), z)")
+    tx = F.floor(((F.col("lon_e7") + F.lit(cells.HALF_WORLD)) * n) / F.lit(cells.WORLD))
+    ty = F.floor(((merc + F.lit(cells.HALF_WORLD)) * n) / F.lit(cells.WORLD))
+    clamp = lambda c: F.greatest(F.lit(0).cast("long"), F.least(n - 1, c.cast("long")))  # noqa: E731
+    return out.withColumn("tile_x", clamp(tx)).withColumn("tile_y", clamp(ty))
+
+
+def zoom_histogram(features: DataFrame) -> DataFrame:
+    """Per-zoom feature counts — the reference's printed sanity metric
+    (osmc/mapper.c:759-767)."""
+    return (
+        features.withColumn("z", F.explode(F.sequence("minz", "maxz")))
+        .groupBy("z")
+        .agg(F.count("*").alias("n_features"))
+    )
+
+
+def rollup_tiles(tiles: DataFrame, from_z: int, to_z: int) -> DataFrame:
+    """Raster-style parent rollup: aggregate per-tile feature counts from
+    ``from_z`` up to every level down to ``to_z`` (A7; child counts sum
+    into parents level by level — partial aggregation at each step).
+    Input: rows with (z, tile_x, tile_y) at z == from_z.
+    Output: (z, tile_x, tile_y, n) for every z in [to_z, from_z].
+    """
+    cur = (
+        tiles.filter(F.col("z") == from_z)
+        .groupBy("z", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+    )
+    out = cur
+    for z in range(from_z - 1, to_z - 1, -1):
+        cur = (
+            cur.select(
+                F.lit(z).alias("z"),
+                F.shiftright(F.col("tile_x"), 1).alias("tile_x"),
+                F.shiftright(F.col("tile_y"), 1).alias("tile_y"),
+                F.col("n"),
+            )
+            .groupBy("z", "tile_x", "tile_y")
+            .agg(F.sum("n").alias("n"))
+        )
+        out = out.unionByName(cur)
+    return out
