@@ -822,3 +822,319 @@ def multipolygon_assembly(spark, sf_dir):
     ways = osm_fixtures.ways_df(spark, sf_dir)
     pp = osm_fixtures.part_points_df(spark, sf_dir)
     return multipolygon_rings(rels, ways, pp)
+
+
+# ---------------------------------------------------------------------------
+# Incremental / streaming patterns (T1-T7) as batch-checkable queries
+# ---------------------------------------------------------------------------
+
+from .store import merge_changes  # noqa: E402
+from .streaming import tumbling_event_counts  # noqa: E402
+
+
+@_register(
+    "events_tumbling_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_agg(spark, sf_dir):
+    """Event-time tumbling-window aggregation (streaming-identical op)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tumbling_event_counts(ev, window="1 hour")
+
+
+@_register(
+    "events_sessionize",
+    """
+    SELECT user_id, event_id, CAST(session_idx AS INT) AS session_idx FROM (
+      SELECT user_id, event_id,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS session_idx
+      FROM (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events))
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) via lag + running sum windows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", new_sess)
+        .withColumn(
+            "session_idx",
+            (F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ) - 1).cast("int"),
+        )
+        .select("user_id", "event_id", "session_idx")
+    )
+
+
+@_register(
+    "incremental_merge",
+    """
+    WITH changes AS (
+      SELECT user_id % 600 AS doc_id,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  WHEN event_type = 'signup' THEN 'create'
+                  ELSE 'modify' END AS op,
+             epoch_ms(ts) AS change_ms, event_id,
+             concat('v', CAST(event_id AS STRING)) AS text
+      FROM events),
+    tagged AS (
+      SELECT doc_id, op, change_ms, event_id, text FROM changes
+      UNION ALL
+      SELECT doc_id, 'base' AS op, NULL AS change_ms, NULL AS event_id, text
+      FROM documents),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id
+          ORDER BY change_ms DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+        FROM tagged) WHERE rn = 1)
+    SELECT doc_id, text FROM latest WHERE op <> 'delete'
+    """,
+)
+def incremental_merge(spark, sf_dir):
+    """T5 latest-version-wins MERGE (create/modify/delete + base union)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changes = ev.select(
+        (F.col("user_id") % 600).alias("doc_id"),
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "create")
+        .otherwise("modify")
+        .alias("op"),
+        (F.unix_timestamp("ts") * 1000
+         + (F.date_format("ts", "SSS")).cast("long")).alias("change_ms"),
+        F.col("event_id"),
+        F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("text"),
+    )
+    return merge_changes(
+        docs, changes, key="doc_id",
+        order_cols=["change_ms", "event_id"], payload_cols=["text"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup family, text analysis, LSH similarity, multimodal
+# ---------------------------------------------------------------------------
+
+from . import dedup, similarity, textstats  # noqa: E402
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id AS id,
+           concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+"""
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_inter,
+           sa.n_sh + sb.n_sh - n_inter AS n_union,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = doc_a
+    JOIN sizes sb ON sb.id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (shingle equi-join prefilter)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.05)
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT id, seed, MIN(md5(concat(CAST(seed AS STRING), '|', shingle))) AS minhash
+      FROM sh, UNNEST(generate_series(0, 7)) AS s(seed)
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             string_agg(concat(CAST(seed AS STRING), ':', minhash), '#'
+                        ORDER BY concat(CAST(seed AS STRING), ':', minhash)) AS band_key
+      FROM sig GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+    SELECT c.doc_a, c.doc_b,
+           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS n_match,
+           CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 8
+             AS est_sim
+    FROM cand c
+    JOIN sig sa ON sa.id = c.doc_a
+    JOIN sig sb ON sb.id = c.doc_b AND sb.seed = sa.seed
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (md5-minwise, banded buckets)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(d, k=8, band_size=2, n=3)
+
+
+@_register(
+    "dedup_simhash",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.tok FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents) t(doc_id, tok)),
+    bits AS (
+      SELECT doc_id, j,
+             (strpos('0123456789abcdef', substr(md5(tok), j // 4 + 1, 1)) - 1)
+               >> (3 - j % 4) & 1 AS bit
+      FROM tok, UNNEST(generate_series(0, 15)) AS s(j)),
+    votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY 1
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (md5-bit majority vote, 16 bits)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(d, bits=16)
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS)
+
+
+@_register(
+    "lang_id",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ({_STOP_LIST}))) AS BIGINT) AS n_stop,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stop_ratio,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.05
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM documents
+    """,
+)
+def lang_id_q(spark, sf_dir):
+    """Stopword-ratio language-ID heuristic."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.lang_id(d)
+
+
+@_register(
+    "quality_score",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ({_STOP_LIST}))) > 0 AS has_stop
+      FROM documents)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST((CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+              + (CASE WHEN uniq >= 0.3 THEN 1 ELSE 0 END)
+              + (CASE WHEN has_stop THEN 1 ELSE 0 END) AS INT) AS quality,
+           ((CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+              + (CASE WHEN uniq >= 0.3 THEN 1 ELSE 0 END)
+              + (CASE WHEN has_stop THEN 1 ELSE 0 END)) >= 2 AS keep
+    FROM s
+    """,
+)
+def quality_score_q(spark, sf_dir):
+    """Composite document-quality filter (length/diversity/stopwords)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.quality_score(d)
+
+
+@_register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint (rolling-hash analog, md5)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.fingerprint(d)
+
+
+def _plane_sql() -> str:
+    terms = []
+    for i in range(similarity.N_PLANES):
+        dot = " + ".join(
+            f"CAST(round(CAST(embedding[{d+1}] AS DOUBLE) * 1000) AS BIGINT) * ({similarity._plane_coeff(i, d)})"
+            for d in range(similarity.DIM)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@_register(
+    "ann_lsh_buckets",
+    f"""
+    SELECT vec_id, CAST({_plane_sql()} AS INT) AS bucket
+    FROM embeddings
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (the ANN scale path)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_buckets(e)
+
+
+@_register(
+    "media_stats",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def media_stats(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads with typed metadata
+    (codec decode stubbed — no media libs in this container)."""
+    from . import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select("media_id", "kind", "n_bytes")

@@ -1,0 +1,91 @@
+"""Structured Streaming operators: micro-batch incremental apply and
+event-time aggregation.
+
+The reference's replication loop (download diff -> apply -> advance
+checkpoint, ``osmc/osmc.c:451-525``) is micro-batch streaming.  Here it
+becomes ``readStream`` over a changes directory + ``foreachBatch``
+running the same MERGE/re-cut as the batch path (one code path for both,
+the idiomatic Spark shape), with the snapshot store as the sink and its
+manifest as the exactly-once checkpoint.
+
+Also provides event-time windowed aggregation with a watermark for late
+data — the Spark-native generalization of the reference's
+publication-lag handling (``MINUTE_SLOWNESS`` etc., ``osmc.c:304-311``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .store import SnapshotStore, merge_changes
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type.
+
+    Works identically on a batch or streaming DataFrame; in streaming
+    mode the watermark bounds state for late data.
+    """
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(
+            F.window("ts", window).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_changes_into_store(
+    spark: SparkSession,
+    changes_dir: str,
+    schema: str,
+    store: SnapshotStore,
+    polys,
+) -> None:
+    """Micro-batch replication: each file batch of point changes is
+    merged into the snapshot store with spatial re-cut, committing one
+    snapshot per non-empty batch (checkpoint advances only on success —
+    the T6 contract).  Runs with availableNow semantics and returns when
+    the backlog is drained."""
+    from .store import apply_geo_changes
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        wm = batch_df.agg(F.max("batch_id")).collect()[0][0]
+        apply_geo_changes(
+            spark, store, batch_df, polys, watermark=f"batch:{wm}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation", f"{store.root}/_stream_checkpoint"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

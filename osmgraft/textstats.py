@@ -1,0 +1,70 @@
+"""Text-analysis operators: language ID, quality scoring, token stats,
+document fingerprinting.  All JVM-side expressions (codegen'd) — no
+Python in the path; every op is engine-portable for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+EN_STOPWORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+]
+
+
+def token_stats(df: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return df.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """Stopword-ratio language heuristic: share of tokens that are
+    English stopwords; >= threshold => 'en'."""
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    )
+    ratio = n_stop.cast("double") / F.size(toks)
+    return df.select(
+        "doc_id",
+        n_stop.cast("bigint").alias("n_stop"),
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= threshold, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Composite quality signal: length band + lexical diversity +
+    stopword presence (a la C4/Gopher-style filters, integer-exact)."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    uniq = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    has_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) > 0
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 1000), 1).otherwise(0)
+        + F.when(uniq >= 0.3, 1).otherwise(0)
+        + F.when(has_stop, 1).otherwise(0)
+    )
+    return df.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        score.cast("int").alias("quality"),
+        (score >= 2).alias("keep"),
+    )
+
+
+def fingerprint(df: DataFrame) -> DataFrame:
+    """Normalized-content fingerprint: md5 over lowercased,
+    whitespace-collapsed text (the U2/U3 idempotence key)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return df.select("doc_id", F.md5(norm).alias("fp"))

@@ -1,0 +1,159 @@
+"""Snapshot store: atomic commits, lineage, resume, incremental re-cut."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft import synth
+from osmgraft.geometry import pip_matches
+from osmgraft.join import spatial_join
+from osmgraft.store import SnapshotStore, apply_geo_changes, merge_changes
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture()
+def tmp_store(spark):
+    d = tempfile.mkdtemp(prefix="osmgraft_store_")
+    yield SnapshotStore(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="pid LONG, lon_e7 LONG, lat_e7 LONG"
+    )
+
+
+NYC_IN = (-740_000_000, 407_000_000)  # inside nyc_box + nyc_tri
+FAR = (100_000_000, 100_000_000)  # only the empty world polygon
+
+
+def test_commit_read_roundtrip_and_lineage(spark, tmp_store):
+    pts = _points(spark, [(1, *NYC_IN), (2, *FAR)])
+    v = tmp_store.commit({"points": pts}, watermark="t0")
+    assert v == 0
+    back = tmp_store.read("points")
+    assert {r.pid for r in back.collect()} == {1, 2}
+    m = tmp_store.manifest()
+    assert m["tables"]["points"]["row_count"] == 2
+    assert sum(m["tables"]["points"]["partition_counts"].values()) == 2
+    assert tmp_store.watermark() == "t0"
+
+
+def test_merge_changes_latest_wins_and_delete(spark):
+    base = spark.createDataFrame(
+        [(1, 10, 10), (2, 20, 20), (3, 30, 30)],
+        schema="pid LONG, lon_e7 LONG, lat_e7 LONG",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "modify", 1, 11, 11),
+            (1, "modify", 2, 12, 12),  # later batch wins
+            (2, "delete", 1, None, None),
+            (4, "create", 1, 40, 40),
+        ],
+        schema="pid LONG, op STRING, batch_id LONG, lon_e7 LONG, lat_e7 LONG",
+    )
+    got = {
+        r.pid: (r.lon_e7, r.lat_e7)
+        for r in merge_changes(
+            base, changes, "pid", ["batch_id"], ["lon_e7", "lat_e7"]
+        ).collect()
+    }
+    assert got == {1: (12, 12), 3: (30, 30), 4: (40, 40)}
+
+
+def test_incremental_recut_leave_region_delete(spark, tmp_store):
+    polys = synth.boundaries()
+    pts = _points(spark, [(1, *NYC_IN), (2, *FAR)])
+    matches = spatial_join(spark, pts, polys).select("pid", "boundary_id")
+    tmp_store.commit({"points": pts, "matches": matches}, watermark="t0")
+    base_m = {(r.pid, r.boundary_id) for r in matches.collect()}
+    assert (1, 1) in base_m and (1, 2) in base_m
+
+    # point 1 moves out of NYC; point 3 is created inside NYC
+    changes = spark.createDataFrame(
+        [(1, "modify", 1, *FAR), (3, "create", 1, *NYC_IN)],
+        schema="pid LONG, op STRING, batch_id LONG, lon_e7 LONG, lat_e7 LONG",
+    )
+    apply_geo_changes(spark, tmp_store, changes, polys, watermark="t1")
+
+    got = {
+        (r.pid, r.boundary_id)
+        for r in tmp_store.read("matches").collect()
+    }
+    # leave-region delete (olm.c:844-845): pid 1 lost boundaries 1 and 2
+    assert (1, 1) not in got and (1, 2) not in got
+    assert (1, 5) in got  # still matches the FULL world polygon
+    assert (3, 1) in got and (3, 2) in got
+    assert tmp_store.watermark() == "t1"
+    assert tmp_store.current_version() == 1
+
+    # oracle check of the final state
+    final_pts = {r.pid: (r.lon_e7, r.lat_e7) for r in tmp_store.read("points").collect()}
+    want = set()
+    for pid, (x, y) in final_pts.items():
+        for p in polys:
+            if pip_matches([x], [y], p)[0]:
+                want.add((pid, p.boundary_id))
+    assert got == want
+
+
+def test_resume_identical_after_replay(spark, tmp_store):
+    """Determinism/resume: replaying the same batches from snapshot 0
+    yields an identical final table + counters (SURVEY §5.4)."""
+    polys = synth.boundaries()
+    pts = _points(spark, [(1, *NYC_IN)])
+    matches = spatial_join(spark, pts, polys).select("pid", "boundary_id")
+    tmp_store.commit({"points": pts, "matches": matches}, watermark="t0")
+
+    changes = spark.createDataFrame(
+        [(2, "create", 1, *NYC_IN)],
+        schema="pid LONG, op STRING, batch_id LONG, lon_e7 LONG, lat_e7 LONG",
+    )
+    apply_geo_changes(spark, tmp_store, changes, polys, watermark="t1")
+    m1 = tmp_store.manifest()
+    state1 = sorted(
+        (r.pid, r.boundary_id) for r in tmp_store.read("matches").collect()
+    )
+
+    # "crash before checkpoint advance": re-apply the same batch against
+    # the previous snapshot — idempotent by construction
+    apply_geo_changes(spark, tmp_store, changes, polys, watermark="t1")
+    state2 = sorted(
+        (r.pid, r.boundary_id) for r in tmp_store.read("matches").collect()
+    )
+    assert state1 == state2
+    assert tmp_store.manifest()["tables"]["matches"]["row_count"] == (
+        m1["tables"]["matches"]["row_count"]
+    )
+
+
+def test_streaming_micro_batch_apply(spark, tmp_store):
+    """T6/T7 via Structured Streaming foreachBatch with availableNow."""
+    import os
+
+    from osmgraft.streaming import stream_changes_into_store
+
+    polys = synth.boundaries()
+    pts = _points(spark, [(1, *FAR)])
+    matches = spatial_join(spark, pts, polys).select("pid", "boundary_id")
+    tmp_store.commit({"points": pts, "matches": matches}, watermark="t0")
+
+    changes_dir = os.path.join(tmp_store.root, "changes_in")
+    schema = "pid LONG, op STRING, batch_id LONG, lon_e7 LONG, lat_e7 LONG"
+    b1 = spark.createDataFrame([(2, "create", 1, *NYC_IN)], schema=schema)
+    b2 = spark.createDataFrame([(1, "modify", 2, *NYC_IN)], schema=schema)
+    b1.coalesce(1).write.mode("append").parquet(changes_dir)
+    b2.coalesce(1).write.mode("append").parquet(changes_dir)
+
+    stream_changes_into_store(spark, changes_dir, schema, tmp_store, polys)
+
+    got = {
+        (r.pid, r.boundary_id) for r in tmp_store.read("matches").collect()
+    }
+    assert (2, 1) in got and (1, 1) in got and (1, 5) in got
+    assert tmp_store.current_version() >= 1
