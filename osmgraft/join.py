@@ -102,6 +102,10 @@ def spatial_join(
     boundary) match.  Multi-assign (a point can match several
     boundaries); BOUNDARY counts as a match (``osmc/obm.c:28-30``).
     """
+    # NOTE: when empty (match-everything) polygons are present the plan
+    # has two branches over ``points`` (cover join + cross join); if the
+    # points are UDF-derived (e.g. extraction output), persist/materialize
+    # them first or the extraction runs once per branch.
     pt = points.withColumn(
         "cell", cells.lonlat_cell_col(F.col("lon_e7"), F.col("lat_e7"), level)
     )
@@ -181,11 +185,16 @@ def knn(
         "dist2 DECIMAL(38,0), rank INT"
     )
     results = spark.createDataFrame([], schema=out_schema)
-    pending = qt
+    pt = pt.cache()
+    # localCheckpoint truncates the lineage each round — without it the
+    # anti-join chain re-derives every prior round's plan (exponential
+    # driver/plan cost across iterations)
+    pending = qt.localCheckpoint(eager=True)
+    n_pending = pending.count()
     r = 1
     w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), F.col("pid").asc())
     for _ in range(max_rounds):
-        if pending.isEmpty():
+        if n_pending == 0:
             break
         offs = _disk_offsets_df(spark, r)
         cand = (
@@ -203,7 +212,7 @@ def knn(
         ranked = (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .cache()
+            .localCheckpoint(eager=True)
         )
         # certification: k-th distance within the ring guarantee radius
         # (any non-candidate point is > r * cell_w away on some axis)
@@ -216,10 +225,13 @@ def knn(
         )
         finished = ranked.join(F.broadcast(done_ids), "qid", "left_semi")
         results = results.unionByName(finished)
-        pending = pending.join(F.broadcast(done_ids), "qid", "left_anti")
+        pending = pending.join(
+            F.broadcast(done_ids), "qid", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_pending = pending.count()
         r *= 2
 
-    if not pending.isEmpty():
+    if n_pending > 0:
         # brute-force fallback for queries the ring search never certified
         # (e.g. k > points in a huge radius) — exact, small remainder
         rest = pending.crossJoin(pt)

@@ -760,7 +760,7 @@ def relation_closure_q(spark, sf_dir):
                   AND a2.boundary_id = a.boundary_id)))
     SELECT relation_id, boundary_id,
            CAST(ROW_NUMBER() OVER (PARTITION BY relation_id, boundary_id
-                                   ORDER BY seq) - 1 AS INT) AS new_seq,
+                                   ORDER BY seq, ref) - 1 AS INT) AS new_seq,
            ref, mtype
     FROM kept
     """,
@@ -1138,3 +1138,155 @@ def media_stats(spark, sf_dir):
     media = multimodal.media_from_documents(docs)
     feats = multimodal.extract_features(media, fake=True)
     return feats.select("media_id", "kind", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# Remaining operator coverage: aggregations, dedup, scalar functions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "feature_bbox_agg",
+    f"""
+    WITH pp AS ({_PART_PTS})
+    SELECT l.l_orderkey AS way_id,
+           MIN(pp.lon_e7) AS minx, MIN(pp.lat_e7) AS miny,
+           MAX(pp.lon_e7) AS maxx, MAX(pp.lat_e7) AS maxy,
+           COUNT(*) AS n_nodes
+    FROM lineitem l JOIN pp ON pp.node_id = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def feature_bbox_agg(spark, sf_dir):
+    """A1: per-feature bbox aggregation through the J6 resolution join."""
+    wn = osm_fixtures.way_nodes_df(spark, sf_dir)
+    pp = osm_fixtures.part_points_df(spark, sf_dir)
+    return (
+        wn.join(pp, "node_id")
+        .groupBy("way_id")
+        .agg(
+            F.min("lon_e7").alias("minx"), F.min("lat_e7").alias("miny"),
+            F.max("lon_e7").alias("maxx"), F.max("lat_e7").alias("maxy"),
+            F.count("*").alias("n_nodes"),
+        )
+    )
+
+
+@_register(
+    "global_stats",
+    f"""
+    WITH pp AS ({_PART_PTS})
+    SELECT (SELECT MIN(lon_e7) FROM pp) AS minx,
+           (SELECT MIN(lat_e7) FROM pp) AS miny,
+           (SELECT MAX(lon_e7) FROM pp) AS maxx,
+           (SELECT MAX(lat_e7) FROM pp) AS maxy,
+           (SELECT MAX(o_orderdate) FROM orders) AS max_ts,
+           (SELECT COUNT(*) FROM lineitem) AS n_rows
+    """,
+)
+def global_stats(spark, sf_dir):
+    """A1 global map bbox + A2 checkpoint-init MAX(timestamp)."""
+    pp = osm_fixtures.part_points_df(spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bbox = pp.agg(
+        F.min("lon_e7").alias("minx"), F.min("lat_e7").alias("miny"),
+        F.max("lon_e7").alias("maxx"), F.max("lat_e7").alias("maxy"),
+    )
+    return bbox.crossJoin(o.agg(F.max("o_orderdate").alias("max_ts"))).crossJoin(
+        li.agg(F.count("*").alias("n_rows"))
+    )
+
+
+@_register(
+    "tag_dictionary",
+    """
+    SELECT k, CAST(ROW_NUMBER() OVER (ORDER BY k) - 1 + 3 AS BIGINT) AS dict_id
+    FROM (
+      SELECT DISTINCT k FROM (
+        SELECT CASE doc_id % 14
+          WHEN 0 THEN 'amenity' WHEN 1 THEN 'shop' WHEN 2 THEN 'tourism'
+          WHEN 3 THEN 'historic' WHEN 4 THEN 'power'
+          WHEN 5 THEN 'place' WHEN 6 THEN 'place' WHEN 7 THEN 'place'
+          WHEN 8 THEN 'place' WHEN 9 THEN 'highway' WHEN 10 THEN 'crossing'
+          WHEN 11 THEN 'railway' WHEN 12 THEN 'highway' END AS k
+        FROM documents
+        UNION ALL SELECT 'name' FROM documents WHERE doc_id % 14 <> 13
+        UNION ALL SELECT 'created_by' FROM documents
+          WHERE doc_id % 4 = 0 AND doc_id % 14 <> 13)
+      WHERE k IS NOT NULL)
+    """,
+)
+def tag_dictionary(spark, sf_dir):
+    """A5: string-dictionary build — distinct tag keys with dense ids
+    (ids 0..2 reserved for the UNUSED/CONTINUATION/EMPTY sentinels,
+    SimpleStringIndex semantics; deterministic sorted order here)."""
+    nodes = osm_fixtures.nodes_df(spark, sf_dir)
+    keys = nodes.select(F.explode(F.map_keys("tags")).alias("k")).distinct()
+    w = Window.orderBy("k")
+    return keys.withColumn(
+        "dict_id", (F.row_number().over(w) - 1 + 3).cast("bigint")
+    )
+
+
+@_register(
+    "first_write_wins",
+    """
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def first_write_wins(spark, sf_dir):
+    """U2: first-write-wins dedup (Tree16 first-offset-kept semantics)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+@_register(
+    "timestamp_roundtrip",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+    FROM events
+    """,
+)
+def timestamp_roundtrip(spark, sf_dir):
+    """P13: ISO-8601 Zulu format + epoch seconds (osm.c:26-41)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+        .cast("bigint")
+        .alias("epoch_s"),
+    )
+
+
+@_register(
+    "created_by_filter",
+    """
+    SELECT doc_id AS id,
+           CAST(CASE WHEN doc_id % 14 = 13 THEN 0
+                     ELSE 2 END AS INT) AS n_tags_after
+    FROM documents
+    """,
+)
+def created_by_filter(spark, sf_dir):
+    """P15: drop the created_by tag (omm.c:383) via map_filter; the
+    remaining tag count is branch-independent (class key + name)."""
+    nodes = osm_fixtures.nodes_df(spark, sf_dir)
+    filtered = nodes.withColumn(
+        "tags", F.map_filter("tags", lambda k, v: k != "created_by")
+    )
+    return filtered.select(
+        F.col("id"), F.size("tags").cast("int").alias("n_tags_after")
+    )

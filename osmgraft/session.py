@@ -37,3 +37,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, cores: int | None = None) -> None:
+    """Spawn the full Python-worker pool up front (one tiny Arrow task
+    per core slot).  Each worker's first task pays the pandas/numpy
+    import (~1 s, worse under 32-way concurrent cold start); on a real
+    cluster executors are long-lived so this is a one-time cost — in
+    timed micro-benchmarks it must happen before the clock starts.
+    Workers are reused afterwards (spark.python.worker.reuse default)."""
+    import pandas as pd  # noqa: F401
+
+    cores = cores or spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    (
+        spark.range(0, cores * 2, 1, cores * 2)
+        .mapInPandas(_touch, "id long")
+        .count()
+    )

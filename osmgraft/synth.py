@@ -192,9 +192,14 @@ def pages_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """
     docs = load_documents(spark, sf_dir)
     if replicate > 1:
-        reps = spark.range(replicate).withColumnRenamed("id", "r")
+        # drive the replication from the partitioned range side: the
+        # source parquet is a single file (1 partition), so replicating
+        # FROM it would leave the whole corpus in one task regardless of
+        # cores; range(replicate) spreads across defaultParallelism
+        n_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
+        reps = spark.range(0, replicate, 1, n_parts).withColumnRenamed("id", "r")
         docs = (
-            docs.crossJoin(reps)
+            reps.crossJoin(F.broadcast(docs))
             .withColumn("doc_id", F.col("doc_id") * replicate + F.col("r"))
             .drop("r")
         )
