@@ -1,0 +1,206 @@
+"""Sources and sinks: OSM XML / OsmChange readers, .poly polygon files,
+and the partitioned tile-store sink.
+
+* **OSM XML scan (S1)** — the reference streams planet XML through a
+  SAX state machine (``osmc/osm.c:205-398``), gzip-transparent
+  (``osm.c:431-442``).  Spark-side: one task per input file (files are
+  the natural split for .osm.gz — gzip is not splittable), each task
+  iterparse-streaming its file into typed rows via ``mapInPandas`` over
+  a DataFrame of file paths.  Planet-scale inputs arrive as many PBF /
+  chunked-XML files, so file-granular parallelism is the idiomatic
+  shape; within a file the parser is streaming (constant memory).
+* **OsmChange scan (S2/T1)** — same reader; ``<create>/<modify>/
+  <delete>`` group membership becomes an ``op`` column routing the
+  MERGE apply (``osm.c:324-349``).
+* **.poly scan (S3)** — the reference's polygon-file format
+  (``osmc/CountryPolygon.c:128-245``): name line, rings terminated by
+  END, ``!``-prefixed ring names = holes, empty dir -> one FULL
+  polygon matching everything.
+* **Tile sink (K4)** — features + tile pyramid written as parquet
+  partitioned by ``z`` and sorted by (tile_y, tile_x) within
+  partitions: Parquet min/max pruning replaces the reference's
+  kd-tree + Tree16 offset indexes.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .geometry import Polygon, Ring
+
+E7 = 10_000_000
+
+OSM_ELEMENT_SCHEMA = T.StructType([
+    T.StructField("op", T.StringType()),  # create|modify|delete (None=plain)
+    T.StructField("entity", T.StringType()),  # node|way|relation
+    T.StructField("id", T.LongType()),
+    T.StructField("lat_e7", T.LongType()),
+    T.StructField("lon_e7", T.LongType()),
+    T.StructField("ts", T.StringType()),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("nodes", T.ArrayType(T.LongType())),
+    T.StructField(
+        "members",
+        T.ArrayType(
+            T.StructType([
+                T.StructField("ref", T.LongType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("role", T.StringType()),
+            ])
+        ),
+    ),
+])
+
+_CHANGE_OPS = {"create", "modify", "delete"}
+
+
+def _e7(v: str) -> int:
+    # exact decimal-string scaling (no float round-trip): the reference
+    # parses with round(deg * 1e7); OSM files carry <= 7 decimals so
+    # string math is lossless and matches round-half-away
+    neg = v.startswith("-")
+    if neg:
+        v = v[1:]
+    whole, _, frac = v.partition(".")
+    frac = (frac + "0000000")[:7]
+    extra = v.partition(".")[2][7:8]
+    out = int(whole or "0") * E7 + int(frac or "0")
+    if extra and int(extra) >= 5:
+        out += 1
+    return -out if neg else out
+
+
+def _parse_osm_stream(fobj, default_op=None):
+    """iterparse one OSM/OsmChange XML stream into element dicts."""
+    import xml.etree.ElementTree as ET
+
+    op_stack = [default_op]
+    for event, el in ET.iterparse(fobj, events=("start", "end")):
+        tag = el.tag
+        if event == "start":
+            if tag in _CHANGE_OPS:
+                op_stack.append(tag)
+            continue
+        if tag in _CHANGE_OPS:
+            op_stack.pop()
+            el.clear()
+            continue
+        if tag not in ("node", "way", "relation"):
+            continue
+        tags = {
+            t.get("k"): t.get("v", "") for t in el.findall("tag")
+        }
+        row = {
+            "op": op_stack[-1],
+            "entity": tag,
+            "id": int(el.get("id")),
+            "lat_e7": _e7(el.get("lat")) if el.get("lat") is not None else None,
+            "lon_e7": _e7(el.get("lon")) if el.get("lon") is not None else None,
+            "ts": el.get("timestamp"),
+            "tags": tags,
+            "nodes": [int(n.get("ref")) for n in el.findall("nd")] or None,
+            "members": [
+                {
+                    "ref": int(m.get("ref")),
+                    "type": m.get("type", ""),
+                    "role": m.get("role", ""),
+                }
+                for m in el.findall("member")
+            ]
+            or None,
+        }
+        el.clear()
+        yield row
+
+
+def read_osm_xml(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed OSM XML / OsmChange scan: one task per file,
+    streaming iterparse inside (gzip-transparent by extension)."""
+    paths = sorted(glob.glob(path_glob))
+    if not paths:
+        raise FileNotFoundError(path_glob)
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], schema="path STRING"
+    ).repartition(len(paths))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for path in b["path"]:
+                opener = gzip.open if path.endswith(".gz") else open
+                is_change = ".osc" in os.path.basename(path)
+                with opener(path, "rb") as f:
+                    rows = list(
+                        _parse_osm_stream(
+                            f, default_op=None if not is_change else None
+                        )
+                    )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return pdf.mapInPandas(run, OSM_ELEMENT_SCHEMA)
+
+
+def read_poly_file(path: str, boundary_id: int = 0) -> Polygon:
+    """Parse one .poly file (CountryPolygon.c:128-208 format)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    name = lines[0].strip()
+    rings: list[Ring] = []
+    i = 1
+    while i < len(lines):
+        header = lines[i].strip()
+        if header == "END" or not header:
+            i += 1
+            continue
+        hole = header.startswith("!")
+        xs, ys = [], []
+        i += 1
+        while i < len(lines) and lines[i].strip() != "END":
+            parts = lines[i].split()
+            if len(parts) >= 2:
+                xs.append(_e7(parts[0]))
+                ys.append(_e7(parts[1]))
+            i += 1
+        i += 1  # consume END
+        # the format closes rings by repeating the first vertex; our
+        # Ring closes implicitly — drop an explicit closing vertex
+        if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+            xs, ys = xs[:-1], ys[:-1]
+        if xs:
+            rings.append(Ring(xs, ys, hole=hole))
+    return Polygon(boundary_id, name, rings)
+
+
+def read_polygons(directory: str) -> list[Polygon]:
+    """readPolygons analog: every .poly in the dir; an empty dir yields
+    one 0-segment FULL polygon that matches everything
+    (CountryPolygon.c:238-243)."""
+    paths = sorted(glob.glob(os.path.join(directory, "*.poly")))
+    if not paths:
+        return [Polygon(0, "FULL", [])]
+    return [read_poly_file(p, i + 1) for i, p in enumerate(paths)]
+
+
+def write_tile_store(
+    tiles: DataFrame, path: str, compression: str = "zstd"
+) -> None:
+    """K4 sink: the tile pyramid partitioned by z, sorted by
+    (tile_y, tile_x) within partitions — z-partition pruning + Parquet
+    row-group min/max stats stand in for the reference's kd-trees."""
+    (
+        tiles.repartition("z")
+        .sortWithinPartitions("tile_y", "tile_x")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("z")
+        .parquet(path)
+    )

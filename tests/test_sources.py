@@ -1,0 +1,129 @@
+"""Sources/sinks: OSM XML scan, OsmChange routing, .poly files, tile sink."""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.geometry import INSIDE, pip_polygon
+from osmgraft.sources import (
+    read_osm_xml,
+    read_poly_file,
+    read_polygons,
+    write_tile_store,
+)
+
+pytestmark = pytest.mark.spark
+
+OSM_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+  <node id="1" lat="52.5200066" lon="13.4049540" timestamp="2024-01-01T00:00:00Z">
+    <tag k="place" v="city"/><tag k="name" v="Berlin"/>
+  </node>
+  <node id="2" lat="-0.00000005" lon="0.00000005"/>
+  <way id="10" timestamp="2024-01-02T00:00:00Z">
+    <nd ref="1"/><nd ref="2"/><nd ref="1"/>
+    <tag k="highway" v="primary"/>
+  </way>
+  <relation id="20">
+    <member type="way" ref="10" role="outer"/>
+    <member type="node" ref="1" role=""/>
+    <tag k="type" v="multipolygon"/>
+  </relation>
+</osm>
+"""
+
+OSC_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<osmChange version="0.6">
+  <create><node id="3" lat="1.0" lon="2.0"/></create>
+  <modify><node id="1" lat="52.52" lon="13.405"/></modify>
+  <delete><node id="2" lat="0" lon="0"/></delete>
+</osmChange>
+"""
+
+
+def test_osm_xml_scan_plain_and_gzip(spark, tmp_path):
+    p1 = tmp_path / "a.osm"
+    p1.write_text(OSM_XML)
+    p2 = tmp_path / "b.osm.gz"
+    with gzip.open(p2, "wt") as f:
+        f.write(OSM_XML)
+
+    df = read_osm_xml(spark, str(tmp_path / "*.osm*"))
+    rows = {(r.entity, r.id): r for r in df.collect() if True}
+    # both files parsed (same ids -> keyed dict; count proves both)
+    assert df.count() == 8
+    n1 = rows[("node", 1)]
+    assert n1.lat_e7 == 525200066 and n1.lon_e7 == 134049540
+    assert n1.tags["place"] == "city" and n1.tags["name"] == "Berlin"
+    assert n1.ts == "2024-01-01T00:00:00Z"
+    # round-half-away at the 8th decimal (MapperTypes.h:28)
+    n2 = rows[("node", 2)]
+    assert n2.lat_e7 == -1 and n2.lon_e7 == 1
+    w = rows[("way", 10)]
+    assert list(w.nodes) == [1, 2, 1] and w.tags["highway"] == "primary"
+    r = rows[("relation", 20)]
+    assert [(m.ref, m.type, m.role) for m in r.members] == [
+        (10, "way", "outer"), (1, "node", ""),
+    ]
+    assert all(r.op is None for r in df.collect())
+
+
+def test_osmchange_routing(spark, tmp_path):
+    p = tmp_path / "diff.osc.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(OSC_XML)
+    df = read_osm_xml(spark, str(p))
+    got = {r.id: r.op for r in df.collect()}
+    assert got == {3: "create", 1: "modify", 2: "delete"}
+
+
+def test_poly_reader_holes_and_full(tmp_path):
+    (tmp_path / "donut.poly").write_text(
+        "donutland\n"
+        "outer\n"
+        "   -1.0  -1.0\n"
+        "    1.0  -1.0\n"
+        "    1.0   1.0\n"
+        "   -1.0   1.0\n"
+        "   -1.0  -1.0\n"
+        "END\n"
+        "!hole\n"
+        "   -0.5  -0.5\n"
+        "    0.5  -0.5\n"
+        "    0.5   0.5\n"
+        "   -0.5   0.5\n"
+        "END\n"
+        "END\n"
+    )
+    polys = read_polygons(str(tmp_path))
+    assert len(polys) == 1
+    p = polys[0]
+    assert p.name == "donutland"
+    assert len(p.rings) == 2 and p.rings[1].hole
+    # hole is outside, mid-ring inside (parity over the flat segment list)
+    assert pip_polygon([0], [0], p)[0] != INSIDE
+    assert pip_polygon([7_500_000], [0], p)[0] == INSIDE
+
+    empty = read_polygons(str(tmp_path / "nonexistent_dir"))
+    assert len(empty) == 1 and empty[0].n_segments == 0
+    assert pip_polygon([123], [456], empty[0])[0] == INSIDE
+
+
+def test_tile_store_partition_pruning(spark, tmp_path, sf_dir):
+    from osmgraft import osm_fixtures, tiles
+
+    nodes = osm_fixtures.nodes_df(spark, sf_dir)
+    feats = tiles.classify_points(nodes)
+    pyramid = tiles.explode_pyramid(feats).select("id", "z", "tile_x", "tile_y")
+    out = str(tmp_path / "tilestore")
+    write_tile_store(pyramid, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == pyramid.count()
+    # partition pruning: a z filter must scan only that partition's files
+    one_z = back.filter(F.col("z") == 14)
+    files = one_z.select(F.input_file_name()).distinct().collect()
+    assert all("z=14" in r[0] for r in files)
+    assert os.path.isdir(os.path.join(out, "z=14"))
