@@ -43,15 +43,29 @@ DEFAULT_COVER_LEVEL = 9  # ~0.7 deg cells: fine enough to hug boundaries,
 # coarse enough that planet-scale covers stay broadcastable
 
 
-def cover_df(spark: SparkSession, polys: list[Polygon], level: int) -> DataFrame:
-    """(boundary_id, cell) exact-superset cover of every non-empty polygon."""
+def cover_df(
+    spark: SparkSession,
+    polys: list[Polygon],
+    level: int,
+    compacted: bool = False,
+) -> DataFrame:
+    """(boundary_id, cell) exact-superset cover of every non-empty polygon.
+
+    ``compacted=True`` collapses complete sibling quartets into parents
+    (mixed-level cover, H3-compact analog) — smaller broadcast for
+    large boundaries; the point side then joins on every ancestor level
+    present in the cover."""
     rows = []
     for p in polys:
         if p.n_segments == 0:
             continue
-        for c in polygon_cover(p, level).tolist():
+        for c in polygon_cover(p, level, compacted=compacted).tolist():
             rows.append((p.boundary_id, c))
     return spark.createDataFrame(rows, schema="boundary_id LONG, cell LONG")
+
+
+def _cover_levels(cov_rows) -> list[int]:
+    return sorted({int(c) >> 52 for _, c in cov_rows})
 
 
 def _pip_refine_udf(spark: SparkSession, polys: list[Polygon]):
@@ -97,20 +111,59 @@ def spatial_join(
     polys: list[Polygon],
     level: int = DEFAULT_COVER_LEVEL,
     keep_position: bool = False,
+    strategy: str = "broadcast",
+    compact_cover: bool = False,
+    salt_buckets: int = 8,
+    hot_cell_threshold: int | None = None,
 ) -> DataFrame:
     """points(.. lon_e7, lat_e7 ..) x polygons -> one row per (point,
     boundary) match.  Multi-assign (a point can match several
     boundaries); BOUNDARY counts as a match (``osmc/obm.c:28-30``).
+
+    Physical strategies:
+      * ``broadcast`` (default) — the cover broadcasts; the big side
+        never shuffles and key skew is irrelevant.  Right whenever the
+        (compacted) planet cover fits the broadcast threshold.
+      * ``sortmerge`` — for covers too large to broadcast: shuffle both
+        sides on cell with **explicit hot-cell salting** (dense urban
+        cells are split into ``salt_buckets`` sub-keys on the point
+        side; the cover side replicates into every bucket), plus AQE
+        skew-join as the backstop.  Salting only re-keys the shuffle —
+        join results are identical (verified in tests).
+
+    ``compact_cover`` joins against a mixed-level compacted cover: the
+    point side explodes into one ancestor cell per level present
+    (<= level+1 rows, typically 3-5) — smaller build side for one extra
+    narrow explode.
     """
     # NOTE: when empty (match-everything) polygons are present the plan
     # has two branches over ``points`` (cover join + cross join); if the
     # points are UDF-derived (e.g. extraction output), persist/materialize
     # them first or the extraction runs once per branch.
-    pt = points.withColumn(
-        "cell", cells.lonlat_cell_col(F.col("lon_e7"), F.col("lat_e7"), level)
-    )
-    cov = cover_df(spark, polys, level)
-    cand = pt.join(F.broadcast(cov), "cell")
+    cov = cover_df(spark, polys, level, compacted=compact_cover)
+    if compact_cover:
+        levels = sorted(
+            {r.cell >> 52 for r in cov.select("cell").distinct().collect()}
+        )
+        anc = F.array(
+            *[
+                cells.lonlat_cell_col(F.col("lon_e7"), F.col("lat_e7"), lv)
+                for lv in levels
+            ]
+        )
+        pt = points.withColumn("cell", F.explode(anc))
+    else:
+        pt = points.withColumn(
+            "cell",
+            cells.lonlat_cell_col(F.col("lon_e7"), F.col("lat_e7"), level),
+        )
+
+    if strategy == "broadcast":
+        cand = pt.join(F.broadcast(cov), "cell")
+    elif strategy == "sortmerge":
+        cand = _salted_sortmerge(spark, pt, cov, salt_buckets, hot_cell_threshold)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     refine = _pip_refine_udf(spark, [p for p in polys if p.n_segments > 0])
     refined = (
@@ -134,6 +187,63 @@ def spatial_join(
         refined = refined.unionByName(full.select(*refined.columns))
 
     return refined if keep_position else refined.drop("position")
+
+
+def _salted_sortmerge(
+    spark: SparkSession,
+    pt: DataFrame,
+    cov: DataFrame,
+    salt_buckets: int,
+    hot_cell_threshold: int | None,
+) -> DataFrame:
+    """Sort-merge cell join with explicit hot-cell salting.
+
+    Hot cells (observed point count above threshold) get per-row salt on
+    the probe side; the (small) cover side replicates each hot cell into
+    every salt bucket.  Salting only changes the shuffle key — the join
+    result set is exactly the broadcast join's (probe-side salting +
+    build-side replication preserves the cross product per cell).
+    """
+    if hot_cell_threshold is None:
+        # one cheap pass: cells whose point count exceeds 4x the mean
+        stats = pt.groupBy("cell").count()
+        row = stats.agg(
+            F.expr("percentile_approx(count, 0.999)").alias("p999"),
+            F.avg("count").alias("mean"),
+        ).collect()[0]
+        hot_cell_threshold = max(int(row["mean"] * 4) + 1, int(row["p999"]))
+        hot = [
+            r.cell
+            for r in stats.filter(F.col("count") >= hot_cell_threshold)
+            .select("cell")
+            .collect()
+        ]
+    else:
+        hot = [
+            r.cell
+            for r in pt.groupBy("cell")
+            .count()
+            .filter(F.col("count") >= hot_cell_threshold)
+            .select("cell")
+            .collect()
+        ]
+    hot_arr = F.array(*[F.lit(int(c)) for c in hot]) if hot else F.array().cast(
+        "array<long>"
+    )
+    is_hot = F.array_contains(hot_arr, F.col("cell")) if hot else F.lit(False)
+
+    salted_pt = pt.withColumn(
+        "salt",
+        F.when(is_hot, F.pmod(F.xxhash64("lon_e7", "lat_e7"), salt_buckets))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    buckets = spark.range(salt_buckets).select(F.col("id").cast("int").alias("salt"))
+    salted_cov = cov.withColumn("is_hot", is_hot).crossJoin(
+        F.broadcast(buckets)
+    ).filter((F.col("salt") == 0) | F.col("is_hot")).drop("is_hot")
+
+    return salted_pt.hint("merge").join(salted_cov, ["cell", "salt"]).drop("salt")
 
 
 # ---------------------------------------------------------------------------

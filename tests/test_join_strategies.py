@@ -1,0 +1,93 @@
+"""Physical-strategy equivalence: broadcast vs salted sort-merge vs
+compacted-cover joins must produce identical match sets (the skew /
+salting test of SURVEY §5.5 — the fixture is 80% clustered in 3 cells).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft import synth
+from osmgraft.join import spatial_join
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def entities(spark, sf_dir):
+    return synth.geo_entities_df(spark, sf_dir).cache()
+
+
+def _matches(df):
+    return {(r.doc_id, r.ent_idx, r.boundary_id) for r in df.collect()}
+
+
+def test_skew_distribution_is_real(spark, entities):
+    """The synthetic corpus actually has hot cells (80/3-cluster rule)."""
+    from osmgraft import cells
+
+    counts = (
+        entities.withColumn(
+            "cell", cells.lonlat_cell_col(F.col("lon_e7"), F.col("lat_e7"), 9)
+        )
+        .groupBy("cell")
+        .count()
+        .orderBy(F.col("count").desc())
+        .collect()
+    )
+    total = sum(r["count"] for r in counts)
+    top3 = sum(r["count"] for r in counts[:3])
+    assert top3 > 0.5 * total, "fixture lost its hot-cell skew"
+
+
+def test_sortmerge_salted_equals_broadcast(spark, entities):
+    polys = synth.boundaries()
+    base = _matches(
+        spatial_join(spark, entities, polys).select(
+            "doc_id", "ent_idx", "boundary_id"
+        )
+    )
+    salted = _matches(
+        spatial_join(
+            spark, entities, polys, strategy="sortmerge", salt_buckets=4
+        ).select("doc_id", "ent_idx", "boundary_id")
+    )
+    assert salted == base
+    # forced-threshold variant: every cluster cell is hot
+    salted2 = _matches(
+        spatial_join(
+            spark, entities, polys, strategy="sortmerge",
+            salt_buckets=8, hot_cell_threshold=5,
+        ).select("doc_id", "ent_idx", "boundary_id")
+    )
+    assert salted2 == base
+
+
+def test_compacted_cover_equals_full(spark, entities):
+    polys = synth.boundaries()
+    base = _matches(
+        spatial_join(spark, entities, polys).select(
+            "doc_id", "ent_idx", "boundary_id"
+        )
+    )
+    comp = _matches(
+        spatial_join(spark, entities, polys, compact_cover=True).select(
+            "doc_id", "ent_idx", "boundary_id"
+        )
+    )
+    assert comp == base
+
+
+def test_repartition_invariance(spark, entities):
+    """Deterministic output under repartition (SURVEY §5.4)."""
+    polys = synth.boundaries()
+    base = _matches(
+        spatial_join(spark, entities, polys).select(
+            "doc_id", "ent_idx", "boundary_id"
+        )
+    )
+    shuffled = _matches(
+        spatial_join(spark, entities.repartition(7), polys).select(
+            "doc_id", "ent_idx", "boundary_id"
+        )
+    )
+    assert shuffled == base
