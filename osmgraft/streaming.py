@@ -15,8 +15,10 @@ publication-lag handling (``MINUTE_SLOWNESS`` etc., ``osmc.c:304-311``).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .store import SnapshotStore, merge_changes
 
@@ -49,6 +51,52 @@ def tumbling_event_counts(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def stateful_first_seen(
+    stream: DataFrame,
+    key_col: str = "fp",
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom stateful streaming operator: emit each key's FIRST row
+    across micro-batches, drop later duplicates (the streaming form of
+    the U2 first-write-wins dedup / Tree16 first-offset-kept semantics,
+    ``osmc/Tree16.c:33-35``) — ``applyInPandasWithState`` with one
+    boolean state slot per key group.
+
+    Input must carry (key_col, doc_id).  Output: (key, doc_id) of first
+    arrivals only.  State grows with distinct keys; bound it upstream by
+    bucketing keys per time window when the stream is unbounded.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            for _ in pdfs:  # drain; already seen
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                row = pdf.sort_values("doc_id").iloc[0]
+                first = int(row["doc_id"])
+        state.update((True,))
+        if first is not None:
+            yield pd.DataFrame({"key": [key[0]], "doc_id": [first]})
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -157,3 +157,46 @@ def test_streaming_micro_batch_apply(spark, tmp_store):
     }
     assert (2, 1) in got and (1, 1) in got and (1, 5) in got
     assert tmp_store.current_version() >= 1
+
+
+def test_stateful_first_seen_across_batches(spark, tmp_store):
+    """applyInPandasWithState: duplicates dropped across micro-batches."""
+    import os
+
+    from osmgraft.streaming import stateful_first_seen
+
+    src_dir = os.path.join(tmp_store.root, "dup_stream")
+    schema = "fp STRING, doc_id LONG"
+    b1 = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("a", 11)], schema=schema
+    )
+    b2 = spark.createDataFrame(
+        [("a", 12), ("c", 30), ("b", 21)], schema=schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+    b2.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = os.path.join(tmp_store.root, "dedup_out")
+    q = (
+        stateful_first_seen(stream, key_col="fp")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r.key, r.doc_id) for r in spark.read.parquet(out_dir).collect()}
+    # one row per key; within the first batch seen, the lowest doc_id
+    assert {k for k, _ in got} == {"a", "b", "c"}
+    assert dict(got)["c"] == 30
+    # 'a' appeared twice in its first batch -> lowest of that batch
+    assert dict(got)["a"] in (10, 12)  # file order across batches may vary
+    assert len(got) == 3
