@@ -1290,3 +1290,57 @@ def created_by_filter(spark, sf_dir):
     return filtered.select(
         F.col("id"), F.size("tags").cast("int").alias("n_tags_after")
     )
+
+
+@_register("geo_pip_join_salted", pip_sql(_PTS, "doc_id, ent_idx"))
+def geo_pip_join_salted(spark, sf_dir):
+    """Flagship join via the salted sort-merge path (same result set —
+    the strategy only re-keys the shuffle; exercises skew handling)."""
+    pts = synth.geo_entities_df(spark, sf_dir)
+    return spatial_join(
+        spark, pts, synth.boundaries(), strategy="sortmerge", salt_buckets=4
+    ).select("doc_id", "ent_idx", "boundary_id")
+
+
+@_register("geo_pip_join_compact", pip_sql(_PTS, "doc_id, ent_idx"))
+def geo_pip_join_compact(spark, sf_dir):
+    """Flagship join against the compacted mixed-level cover."""
+    pts = synth.geo_entities_df(spark, sf_dir)
+    return spatial_join(
+        spark, pts, synth.boundaries(), compact_cover=True
+    ).select("doc_id", "ent_idx", "boundary_id")
+
+
+@_register(
+    "knn_ring_vs_bruteforce",
+    f"""
+    WITH pts AS ({_PTS}),
+    p AS (SELECT doc_id * 10 + ent_idx AS pid, lon_e7, lat_e7 FROM pts
+          WHERE doc_id % 2 = 0),
+    q AS (SELECT pid AS qid, lon_e7 AS qx, lat_e7 AS qy FROM p WHERE pid < 600)
+    SELECT qid, pid, CAST(rank AS INT) AS rank FROM (
+      SELECT q.qid, p.pid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY CAST(p.lon_e7 - q.qx AS HUGEINT) * (p.lon_e7 - q.qx)
+                      + CAST(p.lat_e7 - q.qy AS HUGEINT) * (p.lat_e7 - q.qy),
+                        p.pid) AS rank
+      FROM q CROSS JOIN p)
+    WHERE rank <= 3
+    """,
+)
+def knn_ring_vs_bruteforce(spark, sf_dir):
+    """kNN over a sparser point set (forces multi-round ring expansion
+    + the brute-force fallback path) — k=3."""
+    pts = synth.geo_entities_df(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 0
+    ).select(
+        (F.col("doc_id") * 10 + F.col("ent_idx")).alias("pid"),
+        "lon_e7", "lat_e7",
+    )
+    qs = pts.filter(F.col("pid") < 600).select(
+        F.col("pid").alias("qid"), "lon_e7", "lat_e7"
+    )
+    return knn(spark, qs, pts, k=3).select(
+        "qid", "pid", F.col("rank").cast("int").alias("rank")
+    )
