@@ -91,7 +91,10 @@ class SnapshotStore:
         north_rule's lineage + counters)."""
         prev = self.current_version()
         version = 0 if prev is None else prev + 1
-        entry_tables = {}
+        # snapshot semantics: tables not rewritten in this commit carry
+        # forward from the parent manifest (Iceberg-style)
+        parent_manifest = self.manifest(prev) if prev is not None else None
+        entry_tables = dict(parent_manifest["tables"]) if parent_manifest else {}
         for name, df in tables.items():
             path = os.path.join(self.root, "data", name, f"v{version}")
             df.write.mode("overwrite").parquet(path)

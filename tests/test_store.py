@@ -200,3 +200,24 @@ def test_stateful_first_seen_across_batches(spark, tmp_store):
     # 'a' appeared twice in its first batch -> lowest of that batch
     assert dict(got)["a"] in (10, 12)  # file order across batches may vary
     assert len(got) == 3
+
+
+def test_run_cut_and_tile_end_to_end(spark, tmp_store, sf_dir):
+    """EP1+EP2 lifecycle: pages -> cut snapshot -> tile pyramid + metrics."""
+    from osmgraft import synth
+    from osmgraft.jobs import run_cut_and_tile
+
+    pages = synth.pages_df(spark, sf_dir)
+    metrics = run_cut_and_tile(
+        spark, pages, synth.boundaries(), tmp_store.root
+    )
+    assert metrics["tables"]["matches"] > 0
+    assert metrics["tables"]["entities"] > 0
+    assert metrics["watermark"] is not None
+    # features span z 12..18 -> histogram has exactly those levels
+    assert set(metrics["zoom_histogram"]) == set(range(12, 19))
+    n12 = metrics["zoom_histogram"][12]
+    assert all(v == n12 for v in metrics["zoom_histogram"].values())
+    # the tile store is partitioned by z and readable
+    tiles_back = spark.read.parquet(f"{tmp_store.root}/tiles")
+    assert tiles_back.filter("z = 12").count() == n12
