@@ -190,6 +190,38 @@ def read_polygons(directory: str) -> list[Polygon]:
     return [read_poly_file(p, i + 1) for i, p in enumerate(paths)]
 
 
+def viewport_query(
+    spark: SparkSession,
+    store_path: str,
+    z: int,
+    min_lon_e7: int,
+    min_lat_e7: int,
+    max_lon_e7: int,
+    max_lat_e7: int,
+) -> DataFrame:
+    """Read-side of the tile store: features visible in a lon/lat
+    viewport at zoom z — the query the reference answers with its 2-D/
+    4-D kd-trees (``osmc/2DTree.c``).  Here it is a z-partition prune +
+    a tile-range predicate that Parquet row-group min/max stats satisfy
+    because partitions are sorted by (tile_y, tile_x)."""
+    import numpy as np
+
+    from . import cells as C
+
+    tx0 = int(C._axis_to_tile(np.int64(min_lon_e7), z))
+    tx1 = int(C._axis_to_tile(np.int64(max_lon_e7), z))
+    my0 = int(C.mercator_y_e7(np.int64(min_lat_e7)))
+    my1 = int(C.mercator_y_e7(np.int64(max_lat_e7)))
+    ty0 = int(C._axis_to_tile(np.int64(min(my0, my1)), z))
+    ty1 = int(C._axis_to_tile(np.int64(max(my0, my1)), z))
+    return (
+        spark.read.parquet(store_path)
+        .filter(F.col("z") == z)
+        .filter(F.col("tile_x").between(tx0, tx1))
+        .filter(F.col("tile_y").between(ty0, ty1))
+    )
+
+
 def write_tile_store(
     tiles: DataFrame, path: str, compression: str = "zstd"
 ) -> None:

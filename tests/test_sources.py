@@ -127,3 +127,41 @@ def test_tile_store_partition_pruning(spark, tmp_path, sf_dir):
     files = one_z.select(F.input_file_name()).distinct().collect()
     assert all("z=14" in r[0] for r in files)
     assert os.path.isdir(os.path.join(out, "z=14"))
+
+
+def test_viewport_query_prunes_and_matches(spark, tmp_path, sf_dir):
+    from osmgraft import cells as C
+    from osmgraft import osm_fixtures, tiles
+    from osmgraft.sources import viewport_query
+
+    nodes = osm_fixtures.nodes_df(spark, sf_dir)
+    feats = tiles.classify_points(nodes)
+    pyramid = tiles.explode_pyramid(feats).select("id", "z", "tile_x", "tile_y")
+    out = str(tmp_path / "vstore")
+    write_tile_store(pyramid, out)
+
+    # viewport = 1-degree box around NYC at z=14
+    got = viewport_query(
+        spark, out, 14, -745_000_000, 402_000_000, -735_000_000, 412_000_000
+    )
+    rows = got.collect()
+    assert rows, "NYC cluster should be visible at z14"
+    # oracle: recompute by brute force over the pyramid
+    import numpy as np
+
+    want = []
+    for r in pyramid.filter(F.col("z") == 14).collect():
+        want.append((r.id, r.tile_x, r.tile_y))
+    tx0 = int(C._axis_to_tile(np.int64(-745_000_000), 14))
+    tx1 = int(C._axis_to_tile(np.int64(-735_000_000), 14))
+    my0 = int(C.mercator_y_e7(np.int64(402_000_000)))
+    my1 = int(C.mercator_y_e7(np.int64(412_000_000)))
+    ty0 = int(C._axis_to_tile(np.int64(min(my0, my1)), 14))
+    ty1 = int(C._axis_to_tile(np.int64(max(my0, my1)), 14))
+    want = {
+        (i, x, y) for i, x, y in want if tx0 <= x <= tx1 and ty0 <= y <= ty1
+    }
+    assert {(r.id, r.tile_x, r.tile_y) for r in rows} == want
+    # pruning: only z=14 partition files are touched
+    files = got.select(F.input_file_name()).distinct().collect()
+    assert files and all("z=14" in f[0] for f in files)
