@@ -82,23 +82,30 @@ def relation_closure(
         .join(way_regions, edges.ref == way_regions.way_id)
         .select("relation_id", "boundary_id")
     )
-    accepted = node_hits.unionByName(way_hits).distinct().cache()
-    rel_edges = edges.filter(F.col("mtype") == "relation").cache()
+    # materialize the base once and truncate lineage each round —
+    # otherwise every fixpoint iteration lazily recomputes the upstream
+    # spatial joins that produced node_regions / way_regions
+    accepted = (
+        node_hits.unionByName(way_hits).distinct().localCheckpoint(eager=True)
+    )
+    rel_edges = edges.filter(F.col("mtype") == "relation").localCheckpoint(
+        eager=True
+    )
 
     for _ in range(max_iterations):
         new = (
             rel_edges.join(
-                accepted.withColumnRenamed("relation_id", "child_id"),
+                F.broadcast(accepted.withColumnRenamed("relation_id", "child_id")),
                 rel_edges.ref == F.col("child_id"),
             )
             .select("relation_id", "boundary_id")
             .distinct()
             .join(accepted, ["relation_id", "boundary_id"], "left_anti")
-            .cache()
+            .localCheckpoint(eager=True)
         )
         if new.isEmpty():
             break
-        accepted = accepted.unionByName(new).cache()
+        accepted = accepted.unionByName(new).localCheckpoint(eager=True)
     return accepted
 
 

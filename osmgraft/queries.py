@@ -708,11 +708,15 @@ def _closure_inputs(spark, sf_dir):
     nodes = osm_fixtures.nodes_df(spark, sf_dir).select(
         F.col("id").alias("node_id"), "lon_e7", "lat_e7"
     )
+    # materialize both region tables: the closure fixpoint and member
+    # filter consume them repeatedly (every iteration / three joins)
     node_regions = spatial_join(spark, nodes, synth.boundaries()).select(
         "node_id", "boundary_id"
-    )
+    ).localCheckpoint(eager=True)
     wn = osm_fixtures.way_nodes_df(spark, sf_dir)
-    way_regions = way_region_semijoin(wn, _part_node_regions(spark, sf_dir))
+    way_regions = way_region_semijoin(
+        wn, _part_node_regions(spark, sf_dir)
+    ).localCheckpoint(eager=True)
     return rels, node_regions, way_regions
 
 
