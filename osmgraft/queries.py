@@ -19,6 +19,13 @@ from pyspark.sql import functions as F
 from . import cells, synth
 from .join import knn, spatial_join
 
+
+def _utc(spark):
+    # timestamp semantics (window bucketing, date_format, unix_timestamp)
+    # follow the session timezone — pin UTC so results match the DuckDB
+    # oracle regardless of the harness session's default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -295,6 +302,7 @@ def segment_revenue(spark, sf_dir):
 )
 def events_latest_per_user(spark, sf_dir):
     """Latest-version-wins window dedup (the diff-apply U3 pattern)."""
+    _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -847,6 +855,7 @@ from .streaming import tumbling_event_counts  # noqa: E402
 )
 def events_tumbling_agg(spark, sf_dir):
     """Event-time tumbling-window aggregation (streaming-identical op)."""
+    _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return tumbling_event_counts(ev, window="1 hour")
 
@@ -870,6 +879,7 @@ def events_tumbling_agg(spark, sf_dir):
 )
 def events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30 min) via lag + running sum windows."""
+    _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -913,6 +923,7 @@ def events_sessionize(spark, sf_dir):
 )
 def incremental_merge(spark, sf_dir):
     """T5 latest-version-wins MERGE (create/modify/delete + base union)."""
+    _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
@@ -1190,6 +1201,7 @@ def feature_bbox_agg(spark, sf_dir):
 )
 def global_stats(spark, sf_dir):
     """A1 global map bbox + A2 checkpoint-init MAX(timestamp)."""
+    _utc(spark)
     pp = osm_fixtures.part_points_df(spark, sf_dir)
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1245,6 +1257,7 @@ def tag_dictionary(spark, sf_dir):
 )
 def first_write_wins(spark, sf_dir):
     """U2: first-write-wins dedup (Tree16 first-offset-kept semantics)."""
+    _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
@@ -1265,6 +1278,7 @@ def first_write_wins(spark, sf_dir):
 )
 def timestamp_roundtrip(spark, sf_dir):
     """P13: ISO-8601 Zulu format + epoch seconds (osm.c:26-41)."""
+    _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.select(
         "event_id",
