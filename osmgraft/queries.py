@@ -593,9 +593,9 @@ _WAY_ROUTE_SQL = f"""
           WHEN b = 14 AND cycled THEN 12
           WHEN b = 15 AND cycled THEN 10 END AS minz
       FROM w)
-    SELECT way_id, kind, class,
-           CAST(minz AS INT) AS minz,
-           CAST(CASE WHEN kind = 'drop' THEN NULL ELSE 18 END AS INT) AS maxz
+    SELECT way_id, kind, COALESCE(class, '(none)') AS class,
+           CAST(COALESCE(minz, -1) AS INT) AS minz,
+           CAST(CASE WHEN kind = 'drop' THEN -1 ELSE 18 END AS INT) AS maxz
     FROM r
 """
 
@@ -606,9 +606,10 @@ def way_route_classify(spark, sf_dir):
     ways = osm_fixtures.ways_df(spark, sf_dir)
     routed = tiles.route_ways(ways)
     return routed.select(
-        "way_id", "kind", "class",
-        F.col("minz").cast("int").alias("minz"),
-        F.col("maxz").cast("int").alias("maxz"),
+        "way_id", "kind",
+        F.coalesce(F.col("class"), F.lit("(none)")).alias("class"),
+        F.coalesce(F.col("minz"), F.lit(-1)).cast("int").alias("minz"),
+        F.coalesce(F.col("maxz"), F.lit(-1)).cast("int").alias("maxz"),
     )
 
 

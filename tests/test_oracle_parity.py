@@ -55,6 +55,11 @@ def test_query_matches_oracle(spark, sf_dir, name):
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
 
+    # nulls in output values are hash/sort hazards for the driver's
+    # compare — all registered queries must emit sentinel values instead
+    for r in spark_rows[:2000]:
+        assert all(v is not None for v in r), f"{name}: NULL in output row {r}"
+
     if name not in ORACLES:
         assert len(spark_rows) >= 0  # rows-only check
         return
