@@ -1363,3 +1363,112 @@ def knn_ring_vs_bruteforce(spark, sf_dir):
     return knn(spark, qs, pts, k=3).select(
         "qid", "pid", F.col("rank").cast("int").alias("rank")
     )
+
+
+_QVEC_SQL = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+)
+@_register(
+    "ann_ivf_topk",
+    f"""
+    WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
+    cents AS (SELECT vec_id AS cid, qvec AS cvec FROM q WHERE vec_id < 8),
+    dots AS (
+      SELECT q.vec_id, c.cid,
+             (SELECT SUM(q.qvec[i] * c.cvec[i])
+              FROM UNNEST(generate_series(1, 64)) AS t(i)) AS dot
+      FROM q CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cid) AS rn
+        FROM dots) WHERE rn = 1),
+    wc AS (SELECT q.vec_id, q.qvec, a.centroid_id
+           FROM q JOIN assign a ON a.vec_id = q.vec_id),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS pid,
+             (SELECT SUM(a.qvec[i] * b.qvec[i])
+              FROM UNNEST(generate_series(1, 64)) AS t(i)) AS dot
+      FROM wc a JOIN wc b ON a.centroid_id = b.centroid_id
+      WHERE a.vec_id <> b.vec_id)
+    SELECT qid, pid, CAST(rank AS INT) AS rank FROM (
+      SELECT qid, pid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, pid) AS rank
+      FROM pairs) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k (nprobe=1) — the ANN scale path
+    as a bucketed equi-join instead of a cross join."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(e, k=5, n_centroids=8)
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
+    n AS (SELECT vec_id, qvec,
+                 (SELECT SUM(qvec[i] * qvec[i])
+                  FROM UNNEST(generate_series(1, 64)) AS t(i)) AS n2
+          FROM q),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             (SELECT SUM(a.qvec[i] * b.qvec[i])
+              FROM UNNEST(generate_series(1, 64)) AS t(i)) AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b FROM pairs
+    WHERE dot > 0
+      AND CAST(dot AS HUGEINT) * dot * 10000
+          >= CAST(na AS HUGEINT) * nb * 2500
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.5), decided exactly
+    on quantized integers — no float comparisons anywhere."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dup_pairs(e, threshold=0.5)
+
+
+@_register(
+    "dedup_simhash_pairs",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.tok FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents) t(doc_id, tok)),
+    bits AS (
+      SELECT doc_id, j,
+             (strpos('0123456789abcdef', substr(md5(tok), j // 4 + 1, 1)) - 1)
+               >> (3 - j % 4) & 1 AS bit
+      FROM tok, UNNEST(generate_series(0, 15)) AS s(j)),
+    votes AS (
+      SELECT doc_id, j, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY 1)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs: hamming distance <= 2 over the
+    16-bit fingerprints."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.simhash(d, bits=16)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+    )
