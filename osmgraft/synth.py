@@ -196,7 +196,10 @@ def pages_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
         # source parquet is a single file (1 partition), so replicating
         # FROM it would leave the whole corpus in one task regardless of
         # cores; range(replicate) spreads across defaultParallelism
-        n_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
+        # fixed partition count: enough waves at every parallelism level
+        # (2 waves of huge tasks create straggler tails; a level-dependent
+        # count also skews N-vs-4N comparisons)
+        n_parts = max(spark.sparkContext.defaultParallelism * 2, 64)
         reps = spark.range(0, replicate, 1, n_parts).withColumnRenamed("id", "r")
         docs = (
             reps.crossJoin(F.broadcast(docs))
