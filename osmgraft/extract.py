@@ -67,3 +67,42 @@ def extract_entities(pages: DataFrame) -> DataFrame:
     """pages(url, doc_id, text, ...) -> geo entity rows (0..N per page)."""
     cols = [c for c in ("url", "doc_id", "text") if c in pages.columns]
     return pages.select(*cols).mapInPandas(_extract_batches, ENTITY_SCHEMA)
+
+
+_MENTION_SQL_RE = r"@place\{([^{}|]*)\|(-?\d+)\|(-?\d+)\}"
+
+
+def extract_entities_jvm(pages: DataFrame) -> DataFrame:
+    """JVM fast path for the well-formed mention grammar: the whole
+    extraction stays inside whole-stage codegen (``regexp_extract_all``
+    + ``arrays_zip`` + ``posexplode``) — no Python, no Arrow exchange.
+
+    Byte-identity holds because the mention is a regex match over the
+    text: casting the matched substring to binary reproduces its exact
+    UTF-8 bytes.  Use the mapInPandas path (``extract_entities``) for
+    irregular real-world HTML where a streaming parser is needed; the
+    two paths are equality-tested.
+    """
+    from pyspark.sql import functions as F
+
+    zipped = F.arrays_zip(
+        F.regexp_extract_all("text", F.lit(_MENTION_SQL_RE), F.lit(1)).alias("name"),
+        F.regexp_extract_all("text", F.lit(_MENTION_SQL_RE), F.lit(2)).alias("lat"),
+        F.regexp_extract_all("text", F.lit(_MENTION_SQL_RE), F.lit(3)).alias("lon"),
+        F.regexp_extract_all("text", F.lit(_MENTION_SQL_RE), F.lit(0)).alias("m"),
+    )
+    cols = [c for c in ("url", "doc_id") if c in pages.columns]
+    out = pages.select(
+        *cols, F.posexplode(zipped).alias("ent_idx", "e")
+    )
+    if "doc_id" not in out.columns:
+        out = out.withColumn("doc_id", F.lit(-1).cast("long"))
+    return out.select(
+        *(["url"] if "url" in out.columns else []),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("ent_idx").cast("int").alias("ent_idx"),
+        F.col("e.name").alias("name"),
+        F.col("e.lat").cast("long").alias("lat_e7"),
+        F.col("e.lon").cast("long").alias("lon_e7"),
+        F.col("e.m").cast("binary").alias("mention"),
+    )

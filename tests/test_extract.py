@@ -52,3 +52,18 @@ def test_no_mention_docs_yield_no_entities(spark, sf_dir):
     ents = extract_entities(pages)
     bad = ents.filter((F.col("doc_id") % 7) == 0).count()
     assert bad == 0
+
+
+def test_jvm_path_equals_pandas_path(spark, sf_dir):
+    from osmgraft.extract import extract_entities_jvm
+
+    pages = synth.pages_df(spark, sf_dir)
+    a = {
+        (r.url, r.doc_id, r.ent_idx, r.name, r.lat_e7, r.lon_e7, bytes(r.mention))
+        for r in extract_entities(pages).collect()
+    }
+    b = {
+        (r.url, r.doc_id, r.ent_idx, r.name, r.lat_e7, r.lon_e7, bytes(r.mention))
+        for r in extract_entities_jvm(pages).collect()
+    }
+    assert a == b and a
