@@ -248,7 +248,17 @@ def lonlat_cell_col(lon_e7: "Column", lat_e7: "Column", level: int) -> "Column":
 
 
 def mercator_y_col(lat_e7: "Column") -> "Column":
-    """JVM-side mercator y in e7 units with round-half-away semantics."""
+    """JVM-side mercator y in e7 units with round-half-away semantics.
+
+    Cross-engine parity note: the DuckDB oracle computes the same
+    180/pi * ln(tan(pi/4 + lat*pi/360)) * 1e7 with libm while this path
+    uses java.lang.Math — a latitude whose mercator e7 value lands
+    within 1 ULP of an x.5 boundary could round differently and flip a
+    tile at a tile edge.  Empirically zero mismatches over every sf0.1
+    point (both engines use correctly-rounded-to-<=1ulp log/tan); if a
+    glibc/JDK bump ever surfaces one, the fallback is to pin the oracle
+    to driver-precomputed y values (see NOTES_r1.md #2).
+    """
     lat = lat_e7.cast("double") / F.lit(float(E7))
     y = (
         F.lit(180.0 / math.pi)

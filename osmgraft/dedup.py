@@ -34,10 +34,15 @@ def tokens_col(text: str = "text") -> "F.Column":
 
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle)."""
-    toks = tokens_col()
+    # Guard: docs with < n tokens have no shingles.  Without the guard,
+    # sequence(0, negative) yields a DESCENDING sequence and slice(start=0)
+    # throws INVALID_PARAMETER_VALUE.START at runtime on short docs (the
+    # DuckDB oracle's generate_series(1, len-2) silently yields none).
     sh = F.expr(
+        f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
         f"transform(sequence(0, size(split(text, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
     return (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
@@ -146,12 +151,19 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
-    """(doc_id, simhash): md5-bit majority vote over distinct tokens.
+def simhash(df: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, sim_hi, sim_lo): md5-bit majority vote over distinct
+    tokens, split into two non-negative 32-bit halves.
 
     bit j of a token = bit (3 - j%4) of hex digit j//4 of md5(token);
     fingerprint bit j set iff the +1/-1 vote sum over tokens is > 0.
-    Pure string/arithmetic ops — engine-portable."""
+    Two BIGINT halves (hi = bits 32..63, lo = bits 0..31) keep every
+    shift < 32, so neither engine hits signed-shift/overflow semantics
+    at the full 64-bit default (1<<63 overflows DuckDB BIGINT and goes
+    negative in Spark).  64 bits is the scale default: 16-bit
+    fingerprints give only 65k distinct buckets — useless at billions
+    of docs.  Pure string/arithmetic ops — engine-portable."""
+    assert 1 <= bits <= 64
     tok = (
         df.select("doc_id", F.explode(tokens_col()).alias("tok"))
         .distinct()
@@ -169,17 +181,75 @@ def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
             "3 - CAST(j % 4 AS INT)) & 1"
         ),
     )
+    set_bit = F.col("v") > 0
+    lo = F.sum(
+        F.when(set_bit & (F.col("j") < 32),
+               F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+        .otherwise(0)
+    )
+    hi = F.sum(
+        F.when(set_bit & (F.col("j") >= 32),
+               F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT) - 32)"))
+        .otherwise(0)
+    )
     return (
         votes.groupBy("doc_id", "j")
         .agg(F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("v"))
         .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("v") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
-                ).otherwise(F.lit(0).cast("bigint"))
-            ).alias("simhash")
-        )
-        .select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+        .agg(hi.cast("long").alias("sim_hi"), lo.cast("long").alias("sim_lo"))
+    )
+
+
+def simhash_hamming_pairs(sh: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs with hamming(fingerprint) <= max_hamming, as a
+    banded EQUI-join — never an all-pairs theta join.
+
+    Pigeonhole: the 64 bits are cut into 4 contiguous 16-bit bands; at
+    most ``max_hamming`` (<= 3) bands can contain a differing bit, so
+    every qualifying pair agrees exactly on >= 1 band.  Candidate
+    generation = explode to (band_idx, band_bits) + hash equi-join
+    (shuffle sized like MinHash LSH), then the exact hamming verify.
+    Result set is provably identical to the all-pairs scan.
+
+    Input: (doc_id, sim_hi, sim_lo).  Output: (doc_a, doc_b, hamming).
+    """
+    assert max_hamming <= 3, "4 fixed bands guarantee recall only to 3"
+    mask = F.lit(0xFFFF).cast("bigint")
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_idx"),
+                         F.shiftright("sim_hi", 16).alias("band_bits")),
+                F.struct(F.lit(1).alias("band_idx"),
+                         F.col("sim_hi").bitwiseAND(mask).alias("band_bits")),
+                F.struct(F.lit(2).alias("band_idx"),
+                         F.shiftright("sim_lo", 16).alias("band_bits")),
+                F.struct(F.lit(3).alias("band_idx"),
+                         F.col("sim_lo").bitwiseAND(mask).alias("band_bits")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_bits")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_bits")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_bits")
+    cand = (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("sim_hi").alias("ha_hi"), F.col("sim_lo").alias("ha_lo"))
+    fb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("sim_hi").alias("hb_hi"), F.col("sim_lo").alias("hb_lo"))
+    ham = (
+        F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi")))
+        + F.bit_count(F.col("ha_lo").bitwiseXOR(F.col("hb_lo")))
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -1002,7 +1002,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
     SELECT c.doc_a, c.doc_b,
-           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS n_match,
+           CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
            CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 8
              AS est_sim
     FROM cand c
@@ -1017,9 +1018,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(d, k=8, band_size=2, n=3)
 
 
-@_register(
-    "dedup_simhash",
-    """
+_SIMHASH_SQL = """
     WITH tok AS (
       SELECT DISTINCT doc_id, t.tok FROM (
         SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
@@ -1028,21 +1027,29 @@ def dedup_minhash_lsh(spark, sf_dir):
       SELECT doc_id, j,
              (strpos('0123456789abcdef', substr(md5(tok), j // 4 + 1, 1)) - 1)
                >> (3 - j % 4) & 1 AS bit
-      FROM tok, UNNEST(generate_series(0, 15)) AS s(j)),
+      FROM tok, UNNEST(generate_series(0, 63)) AS s(j)),
     votes AS (
       SELECT doc_id, j,
              SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
       FROM bits GROUP BY 1, 2)
     SELECT doc_id,
-           CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
-                AS BIGINT) AS simhash
+           CAST(SUM(CASE WHEN v > 0 AND j >= 32
+                         THEN CAST(1 AS BIGINT) << (j - 32) ELSE 0 END)
+                AS BIGINT) AS sim_hi,
+           CAST(SUM(CASE WHEN v > 0 AND j < 32
+                         THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                AS BIGINT) AS sim_lo
     FROM votes GROUP BY 1
-    """,
-)
+"""
+
+
+@_register("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark, sf_dir):
-    """SimHash fingerprints (md5-bit majority vote, 16 bits)."""
+    """SimHash fingerprints (md5-bit majority vote, 64 bits as two
+    non-negative 32-bit BIGINT halves — 16-bit fingerprints would give
+    only 65k buckets at billion-doc scale)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash(d, bits=16)
+    return dedup.simhash(d, bits=64)
 
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS)
@@ -1434,41 +1441,20 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 @_register(
     "dedup_simhash_pairs",
-    """
-    WITH tok AS (
-      SELECT DISTINCT doc_id, t.tok FROM (
-        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
-        FROM documents) t(doc_id, tok)),
-    bits AS (
-      SELECT doc_id, j,
-             (strpos('0123456789abcdef', substr(md5(tok), j // 4 + 1, 1)) - 1)
-               >> (3 - j % 4) & 1 AS bit
-      FROM tok, UNNEST(generate_series(0, 15)) AS s(j)),
-    votes AS (
-      SELECT doc_id, j, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
-      FROM bits GROUP BY 1, 2),
-    sh AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
-                  AS BIGINT) AS simhash
-      FROM votes GROUP BY 1)
+    f"""
+    WITH sh AS ({_SIMHASH_SQL})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+          + bit_count(xor(a.sim_lo, b.sim_lo)) <= 2
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidate pairs: hamming distance <= 2 over the
-    16-bit fingerprints."""
+    """SimHash near-dup pairs (hamming <= 2 over 64 bits) via 4-band
+    pigeonhole equi-join — the Spark plan has NO all-pairs theta join;
+    the all-pairs form appears only in the (small-scale) DuckDB oracle,
+    to which the banded result set is provably identical."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = dedup.simhash(d, bits=16)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= 2)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return dedup.simhash_hamming_pairs(dedup.simhash(d, bits=64), max_hamming=2)

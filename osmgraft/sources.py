@@ -79,19 +79,30 @@ def _e7(v: str) -> int:
 
 
 def _parse_osm_stream(fobj, default_op=None):
-    """iterparse one OSM/OsmChange XML stream into element dicts."""
+    """iterparse one OSM/OsmChange XML stream into element dicts.
+
+    Constant-memory: processed <node>/<way>/<relation> subtrees are
+    cleared AND detached from their parent (iterparse alone leaves
+    cleared children attached to the root, growing with element count).
+    """
     import xml.etree.ElementTree as ET
 
     op_stack = [default_op]
+    el_stack = []
     for event, el in ET.iterparse(fobj, events=("start", "end")):
         tag = el.tag
         if event == "start":
             if tag in _CHANGE_OPS:
                 op_stack.append(tag)
+            el_stack.append(el)
             continue
+        el_stack.pop()
+        parent = el_stack[-1] if el_stack else None
         if tag in _CHANGE_OPS:
             op_stack.pop()
             el.clear()
+            if parent is not None:
+                parent.remove(el)
             continue
         if tag not in ("node", "way", "relation"):
             continue
@@ -118,7 +129,12 @@ def _parse_osm_stream(fobj, default_op=None):
             or None,
         }
         el.clear()
+        if parent is not None:
+            parent.remove(el)
         yield row
+
+
+_XML_CHUNK_ROWS = 50_000
 
 
 def read_osm_xml(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -135,15 +151,17 @@ def read_osm_xml(spark: SparkSession, path_glob: str) -> DataFrame:
         for b in batches:
             for path in b["path"]:
                 opener = gzip.open if path.endswith(".gz") else open
-                is_change = ".osc" in os.path.basename(path)
                 with opener(path, "rb") as f:
-                    rows = list(
-                        _parse_osm_stream(
-                            f, default_op=None if not is_change else None
-                        )
-                    )
-                if rows:
-                    yield pd.DataFrame(rows)
+                    # bounded-size chunks: never materialize a whole
+                    # planet-scale file's rows in one Python list
+                    rows = []
+                    for row in _parse_osm_stream(f):
+                        rows.append(row)
+                        if len(rows) >= _XML_CHUNK_ROWS:
+                            yield pd.DataFrame(rows)
+                            rows = []
+                    if rows:
+                        yield pd.DataFrame(rows)
 
     return pdf.mapInPandas(run, OSM_ELEMENT_SCHEMA)
 

@@ -82,11 +82,13 @@ def stateful_first_seen(
             for _ in pdfs:  # drain; already seen
                 pass
             return
+        # accumulate the min across ALL pandas chunks — a key group
+        # spanning multiple Arrow batches arrives as several chunks
         first = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                row = pdf.sort_values("doc_id").iloc[0]
-                first = int(row["doc_id"])
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                first = m if first is None else min(first, m)
         state.update((True,))
         if first is not None:
             yield pd.DataFrame({"key": [key[0]], "doc_id": [first]})

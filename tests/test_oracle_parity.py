@@ -7,6 +7,7 @@ digits — stricter than any hash the driver might use).
 """
 
 import math
+import re
 
 import duckdb
 import pytest
@@ -28,6 +29,29 @@ def _duck(sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
+
+
+def _canon_type(t: str) -> str:
+    """Normalize a Spark dtype / Arrow type string to a shared canonical
+    form so engine-level type divergence (e.g. DuckDB HUGEINT ->
+    decimal128(38,0) vs Spark BIGINT) fails the gate locally — the
+    driver's value hash is type-sensitive (round-1 dedup_minhash_lsh)."""
+    t = t.strip().lower()
+    t = re.sub(r"^large_", "", t)
+    t = re.sub(r"\[[^\]]*\]", "", t)  # timestamp[us, tz=UTC] -> timestamp
+    # naive timestamps: Spark TIMESTAMP_NTZ == DuckDB TIMESTAMP (values
+    # hash identically in the driver; only the name differs)
+    t = re.sub(r"^timestamp_ntz$", "timestamp", t)
+    t = re.sub(r"decimal128", "decimal", t)
+    t = re.sub(r"list<item:\s*", "array<", t).replace("list<", "array<")
+    t = {
+        "long": "bigint", "int64": "bigint", "hugeint": "decimal(38,0)",
+        "int32": "int", "integer": "int", "int16": "smallint",
+        "int8": "tinyint", "float64": "double", "float32": "float",
+        "utf8": "string", "varchar": "string", "bool": "boolean",
+        "date32": "date", "date64": "date",
+    }.get(t, t)
+    return t
 
 
 def _norm(v):
@@ -65,12 +89,20 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
 
     con = _duck(sf_dir)
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    arrow = con.execute(ORACLES[name]).fetch_arrow_table()
+    duck_cols = arrow.schema.names
+    duck_rows = [tuple(r.values()) for r in arrow.to_pylist()]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    spark_types = {c: _canon_type(t) for c, t in df.dtypes}
+    duck_types = {
+        f.name: _canon_type(str(f.type)) for f in arrow.schema
+    }
+    assert spark_types == duck_types, (
+        f"{name}: TYPE mismatch (driver hash is type-sensitive): "
+        f"spark={spark_types} duck={duck_types}"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
