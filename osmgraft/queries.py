@@ -1413,13 +1413,116 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @_register(
-    "dedup_embedding_cosine",
+    "ann_cosine_topk_ivf",
     f"""
     WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
     n AS (SELECT vec_id, qvec,
                  (SELECT SUM(qvec[i] * qvec[i])
                   FROM UNNEST(generate_series(1, 64)) AS t(i)) AS n2
           FROM q),
+    cents AS (SELECT vec_id AS cid, qvec AS cvec FROM q WHERE vec_id < 8),
+    cdots AS (
+      SELECT q.vec_id, c.cid,
+             (SELECT SUM(q.qvec[i] * c.cvec[i])
+              FROM UNNEST(generate_series(1, 64)) AS t(i)) AS dot
+      FROM q CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cid) AS rn
+        FROM cdots) WHERE rn = 1),
+    wc AS (SELECT n.vec_id, n.qvec, n.n2, a.centroid_id
+           FROM n JOIN assign a ON a.vec_id = n.vec_id),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS pid,
+             (SELECT SUM(a.qvec[i] * b.qvec[i])
+              FROM UNNEST(generate_series(1, 64)) AS t(i)) AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM wc a JOIN wc b ON a.centroid_id = b.centroid_id
+      WHERE a.vec_id <> b.vec_id),
+    keyed AS (
+      SELECT qid, pid, dot, na, nb,
+             CASE WHEN dot >= 0
+                  THEN (CAST(dot AS HUGEINT) * dot * 1000000) // nb
+                  ELSE -((CAST(dot AS HUGEINT) * dot * 1000000) // nb)
+             END AS key
+      FROM pairs)
+    SELECT qid, pid, CAST(rank AS INT) AS rank,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY key DESC, pid) AS rank
+          FROM keyed)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk_ivf(spark, sf_dir):
+    """Cosine top-k through IVF buckets — true-cosine ordering via an
+    exact integer key (sign(dot) * dot^2*10^6 div nb), bit-exact double
+    cosine output; the production replacement for the broadcast
+    cross-join cosine_topk baseline."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk_ivf(e, k=5, n_centroids=8)
+
+
+_EMB_NORM_SQL = f"""
+    WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
+    n AS (SELECT vec_id, qvec,
+                 (SELECT SUM(qvec[i] * qvec[i])
+                  FROM UNNEST(generate_series(1, 64)) AS t(i)) AS n2
+          FROM q)
+"""
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    {_EMB_NORM_SQL},
+    planes AS (
+      SELECT t.i, d.d, ((t.i * 1009 + d.d * 9176) % 97) - 48 AS c
+      FROM UNNEST(generate_series(0, 15)) t(i),
+           UNNEST(generate_series(0, 63)) d(d)),
+    pdots AS (
+      SELECT q.vec_id, p.i, SUM(q.qvec[p.d + 1] * p.c) AS dot
+      FROM q, planes p GROUP BY 1, 2),
+    buckets AS (
+      SELECT vec_id, i // 4 AS band_idx,
+             SUM(CASE WHEN dot > 0 THEN 1 << (i % 4) ELSE 0 END) AS bucket
+      FROM pdots GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT c.vec_a, c.vec_b,
+             (SELECT SUM(a.qvec[i] * b.qvec[i])
+              FROM UNNEST(generate_series(1, 64)) AS t(i)) AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM cand c
+      JOIN n a ON a.vec_id = c.vec_a
+      JOIN n b ON b.vec_id = c.vec_b)
+    SELECT vec_a, vec_b FROM pairs
+    WHERE dot > 0
+      AND CAST(dot AS HUGEINT) * dot * 10000
+          >= CAST(na AS HUGEINT) * nb * 2500
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.5) — the SCALE path:
+    multi-band hyperplane LSH candidate generation (equi-join on
+    (band_idx, bucket); no all-pairs scan in the plan) + integer-exact
+    DECIMAL threshold verify.  Oracle applies the identical banding."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dup_pairs(
+        e, threshold=0.5, n_bands=4, planes_per_band=4
+    )
+
+
+@_register(
+    "dedup_embedding_cosine_exact",
+    f"""
+    {_EMB_NORM_SQL},
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              (SELECT SUM(a.qvec[i] * b.qvec[i])
@@ -1432,11 +1535,12 @@ def ann_ivf_topk(spark, sf_dir):
           >= CAST(na AS HUGEINT) * nb * 2500
     """,
 )
-def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.5), decided exactly
-    on quantized integers — no float comparisons anywhere."""
+def dedup_embedding_cosine_exact(spark, sf_dir):
+    """All-pairs exact near-dup baseline (threshold 0.5) — documented
+    small-scale recall yardstick for the LSH scale path; O(n^2) by
+    construction, never the production path."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.embedding_near_dup_pairs(e, threshold=0.5)
+    return similarity.embedding_near_dup_pairs_exact(e, threshold=0.5)
 
 
 @_register(

@@ -57,10 +57,62 @@ def lsh_candidate_pairs(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     )
 
 
+def lsh_band_buckets(
+    df: DataFrame, n_bands: int = 4, planes_per_band: int = 4
+) -> DataFrame:
+    """(vec_id, band_idx, bucket): multi-band hyperplane LSH.
+
+    Band t's bucket is the sign pattern of planes
+    t*planes_per_band .. t*planes_per_band + planes_per_band - 1;
+    a pair is a candidate iff it agrees on >= 1 whole band.  More bands
+    of fewer planes => higher recall at higher candidate volume — the
+    standard banding trade-off, tuned per corpus."""
+    qdf = quantized(df)
+    rows = []
+    for t in range(n_bands):
+        bucket = F.lit(0)
+        for p in range(planes_per_band):
+            i = t * planes_per_band + p
+            coeffs = F.array(*[F.lit(_plane_coeff(i, d)) for d in range(DIM)])
+            dot = F.aggregate(
+                F.zip_with("qvec", coeffs, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
+        rows.append(
+            F.struct(
+                F.lit(t).alias("band_idx"), bucket.cast("int").alias("bucket")
+            )
+        )
+    return qdf.select(
+        "vec_id", F.explode(F.array(*rows)).alias("b")
+    ).select("vec_id", "b.band_idx", "b.bucket")
+
+
+def lsh_banded_candidate_pairs(
+    df: DataFrame, n_bands: int = 4, planes_per_band: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (vec_a < vec_b) sharing >= 1 LSH band —
+    an equi-join on (band_idx, bucket), never an all-pairs scan."""
+    b = lsh_band_buckets(df, n_bands, planes_per_band)
+    a = b.select(F.col("vec_id").alias("vec_a"), "band_idx", "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"), "band_idx", "bucket")
+    return (
+        a.join(c, ["band_idx", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
 def cosine_topk(
     queries: DataFrame, points: DataFrame, k: int = 10
 ) -> DataFrame:
-    """Float cosine top-k (production path; JVM fold, broadcast probe).
+    """Float cosine top-k — the EXACT BASELINE: a broadcast cross join,
+    valid only while the point set fits the broadcast threshold and the
+    query set is bounded.  The scale path is :func:`cosine_topk_ivf`
+    (IVF-bucketed equi-join candidates).
 
     queries(qid, embedding), points(pid, embedding) ->
     (qid, pid, rank, cosine)."""
@@ -149,28 +201,24 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 8) -> DataFrame:
     )
 
 
-def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b), decided EXACTLY on
-    quantized integers: cos(a,b) >= t  <=>  dot > 0 and
-    dot^2 >= t^2 * |a|^2 * |b|^2 — evaluated in DECIMAL(38,0) to avoid
-    float ties, so both engines agree bit-for-bit."""
-    q = quantized(df).select("vec_id", "qvec")
-    norm2 = F.aggregate(
+def _norm2_col() -> "F.Column":
+    return F.aggregate(
         F.transform("qvec", lambda x: x * x),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    qn = q.withColumn("n2", norm2)
-    a = qn.select(F.col("vec_id").alias("vec_a"), F.col("qvec").alias("va"),
-                  F.col("n2").alias("na"))
-    b = qn.select(F.col("vec_id").alias("vec_b"), F.col("qvec").alias("vb"),
-                  F.col("n2").alias("nb"))
+
+
+def _exact_cosine_filter(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact verify stage: cos(a,b) >= t  <=>  dot > 0 and
+    dot^2 * 10^4 >= t2_num * |a|^2 * |b|^2 — evaluated in DECIMAL(38,0)
+    to avoid float ties, so both engines agree bit-for-bit.
+    Input pairs carry (vec_a, vec_b, va, vb, na, nb)."""
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    # t = threshold scaled to integer hundredths: t2_num / t2_den
     t2_num = int(round(threshold * 100)) ** 2
     lhs = (F.col("dot").cast("decimal(38,0)") * F.col("dot")).cast(
         "decimal(38,0)"
@@ -179,9 +227,94 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.9) -> DataFrame
         F.col("na").cast("decimal(38,0)") * F.col("nb")
     ).cast("decimal(38,0)") * F.lit(t2_num).cast("decimal(38,0)")
     return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("dot", dot)
+        pairs.withColumn("dot", dot)
         .filter((F.col("dot") > 0) & (lhs >= rhs))
         .select("vec_a", "vec_b")
     )
+
+
+def _with_vec_sides(df: DataFrame, pairs: DataFrame) -> DataFrame:
+    qn = quantized(df).select("vec_id", "qvec").withColumn("n2", _norm2_col())
+    a = qn.select(F.col("vec_id").alias("vec_a"), F.col("qvec").alias("va"),
+                  F.col("n2").alias("na"))
+    b = qn.select(F.col("vec_id").alias("vec_b"), F.col("qvec").alias("vb"),
+                  F.col("n2").alias("nb"))
+    return pairs.join(a, "vec_a").join(b, "vec_b")
+
+
+def cosine_topk_ivf(df: DataFrame, k: int = 5, n_centroids: int = 8) -> DataFrame:
+    """Cosine top-k through IVF buckets (nprobe=1) — the production
+    path: candidate generation is an equi-join on centroid_id, ranking
+    is by TRUE COSINE order via an exact integer key.
+
+    Key: sign(dot) * ((dot^2 * 10^6) div nb); within a qid, na is
+    constant, so dot^2/nb orders exactly like cos^2 — integer-only
+    arithmetic, so both engines produce identical ranks (ties at the
+    10^-6 key resolution break deterministically by pid).  The emitted
+    ``cosine`` double is also bit-exact cross-engine: dot and na*nb are
+    exact integers < 2^53 and IEEE sqrt/divide are correctly rounded.
+
+    Output: (qid, pid, rank, cosine)."""
+    assign = ivf_assign(df, n_centroids)
+    q = quantized(df).select("vec_id", "qvec").withColumn("n2", _norm2_col())
+    withc = q.join(assign, "vec_id")
+    a = withc.select(F.col("vec_id").alias("qid"), F.col("qvec").alias("qv"),
+                     F.col("n2").alias("na"), "centroid_id")
+    b = withc.select(F.col("vec_id").alias("pid"), F.col("qvec").alias("pv"),
+                     F.col("n2").alias("nb"), "centroid_id")
+    dot = F.aggregate(
+        F.zip_with("qv", "pv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    key_mag = F.expr(
+        "CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000) DIV nb AS BIGINT)"
+    )
+    key = F.when(F.col("dot") >= 0, key_mag).otherwise(-key_mag)
+    cosine = F.col("dot").cast("double") / F.sqrt(
+        (F.col("na") * F.col("nb")).cast("double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("key").desc(), F.col("pid").asc())
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("qid") != F.col("pid"))
+        .withColumn("dot", dot)
+        .withColumn("key", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "pid", F.col("rank").cast("int").alias("rank"),
+                cosine.alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) — the scale path.
+
+    Candidate generation is multi-band hyperplane LSH (equi-join on
+    (band_idx, bucket); NO all-pairs scan anywhere in the plan), then
+    the exact DECIMAL(38,0) cosine-threshold verify.  Recall is the
+    standard LSH banding guarantee (1 - (1 - s^p)^b for sign-agreement
+    rate s), not 100% — for exhaustive small-scale comparison use
+    :func:`embedding_near_dup_pairs_exact`."""
+    cand = lsh_banded_candidate_pairs(df, n_bands, planes_per_band)
+    return _exact_cosine_filter(_with_vec_sides(df, cand), threshold)
+
+
+def embedding_near_dup_pairs_exact(
+    df: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """All-pairs exact variant — O(n^2) broadcast cross join; the
+    small-scale baseline for recall measurement ONLY, never the
+    production path at corpus scale."""
+    qn = quantized(df).select("vec_id", "qvec").withColumn("n2", _norm2_col())
+    a = qn.select(F.col("vec_id").alias("vec_a"), F.col("qvec").alias("va"),
+                  F.col("n2").alias("na"))
+    b = qn.select(F.col("vec_id").alias("vec_b"), F.col("qvec").alias("vb"),
+                  F.col("n2").alias("nb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_a") < F.col("vec_b"))
+    return _exact_cosine_filter(pairs, threshold)

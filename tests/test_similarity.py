@@ -71,3 +71,79 @@ def test_multimodal_stub_and_fake_features(spark, sf_dir):
     again = {r.media_id: list(r.feature) for r in extract_features(media).collect()}
     for r in rows:
         assert again[r.media_id] == list(r.feature)
+
+
+def test_banded_near_dup_is_subset_of_exact_with_sane_recall(spark, emb):
+    from osmgraft.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    banded = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.5).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs_exact(emb, threshold=0.5).collect()
+    }
+    assert banded <= exact  # verify stage is exact: no false positives
+    if exact:
+        recall = len(banded) / len(exact)
+        assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_banded_near_dup_plan_has_no_crossjoin(spark, emb):
+    from osmgraft.similarity import embedding_near_dup_pairs
+
+    plan = (
+        embedding_near_dup_pairs(emb, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_ivf_ranks_by_true_cosine_within_bucket(spark, emb):
+    from osmgraft.similarity import cosine_topk_ivf, ivf_assign, quantized
+
+    out = cosine_topk_ivf(emb, k=5, n_centroids=8)
+    rows = out.collect()
+    assert rows
+    # recompute with numpy: within each query's centroid bucket, rank by
+    # cosine over the quantized vectors (key resolution 1e-6 -> allow
+    # cosine-equal swaps only)
+    assign = {r.vec_id: r.centroid_id for r in ivf_assign(emb, 8).collect()}
+    qv = {
+        r.vec_id: np.array(r.qvec, dtype=np.float64)
+        for r in quantized(emb).select("vec_id", "qvec").collect()
+    }
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r.qid, []).append(r)
+    for qid, rs in list(by_qid.items())[:20]:
+        rs.sort(key=lambda r: r.rank)
+        cand = [p for p in qv if p != qid and assign[p] == assign[qid]]
+        cos = {
+            p: float(qv[qid] @ qv[p])
+            / (np.linalg.norm(qv[qid]) * np.linalg.norm(qv[p]))
+            for p in cand
+        }
+        want = sorted(cand, key=lambda p: (-cos[p], p))[: len(rs)]
+        got = [r.pid for r in rs]
+        for g, w in zip(got, want):
+            assert abs(cos[g] - cos[w]) < 1e-5, (qid, got, want)
+        for r in rs:
+            assert abs(r.cosine - cos[r.pid]) < 1e-9
+
+
+def test_cosine_topk_ivf_plan_has_no_full_crossjoin(spark, emb):
+    from osmgraft.similarity import cosine_topk_ivf
+
+    plan = (
+        cosine_topk_ivf(emb, k=5, n_centroids=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only cross join allowed is the tiny centroid assignment
+    # (8 rows broadcast); the pair space must be an equi-join
+    assert "CartesianProduct" not in plan
