@@ -251,10 +251,17 @@ def _salted_sortmerge(
 # ---------------------------------------------------------------------------
 
 
-def _disk_offsets_df(spark: SparkSession, r: int) -> DataFrame:
-    """Chebyshev disk offsets max(|dx|,|dy|) <= r (no wrap: kNN runs in
-    flat e7 space, matching the reference kd-tree's geometry)."""
-    rows = [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)]
+def _annulus_offsets_df(spark: SparkSession, r_lo: int, r_hi: int) -> DataFrame:
+    """Chebyshev annulus offsets r_lo < max(|dx|,|dy|) <= r_hi (no wrap:
+    kNN runs in flat e7 space, matching the reference kd-tree's
+    geometry).  Pass r_lo=-1 to include the center cell — the annulus
+    delta means each disk cell is visited exactly once across rounds."""
+    rows = [
+        (dx, dy)
+        for dx in range(-r_hi, r_hi + 1)
+        for dy in range(-r_hi, r_hi + 1)
+        if r_lo < max(abs(dx), abs(dy)) <= r_hi
+    ]
     return spark.createDataFrame(rows, schema="dx LONG, dy LONG")
 
 
@@ -301,12 +308,18 @@ def knn(
     # driver/plan cost across iterations)
     pending = qt.localCheckpoint(eager=True)
     n_pending = pending.count()
-    r = 1
+    r_prev, r = -1, 1
     w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), F.col("pid").asc())
+    # carry = running top-k per still-pending query; each round joins
+    # ONLY the new annulus cells (r_prev, r] — the inner disk was already
+    # scanned, its survivors live in carry.  Disk cells are therefore
+    # visited once each instead of once per round (at r=128 the full
+    # rescan was 66k offsets per pending query per round).
+    carry = spark.createDataFrame([], schema=out_schema.rsplit(", ", 1)[0])
     for _ in range(max_rounds):
         if n_pending == 0:
             break
-        offs = _disk_offsets_df(spark, r)
+        offs = _annulus_offsets_df(spark, r_prev, r)
         cand = (
             pending.crossJoin(F.broadcast(offs))
             .withColumn("cx", F.col("qcx") + F.col("dx"))
@@ -319,8 +332,11 @@ def knn(
             "qid", "qcx", "qcy", "qx", "qy", "pid",
             (dx * dx + dy * dy).cast("decimal(38,0)").alias("dist2"),
         )
+        # a point lies in exactly one cell and each cell is visited once,
+        # so carry ∪ cand has no duplicate (qid, pid)
         ranked = (
-            cand.withColumn("rank", F.row_number().over(w))
+            carry.unionByName(cand)
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .localCheckpoint(eager=True)
         )
@@ -338,8 +354,9 @@ def knn(
         pending = pending.join(
             F.broadcast(done_ids), "qid", "left_anti"
         ).localCheckpoint(eager=True)
+        carry = ranked.join(F.broadcast(done_ids), "qid", "left_anti").drop("rank")
         n_pending = pending.count()
-        r *= 2
+        r_prev, r = r, r * 2
 
     if n_pending > 0:
         # brute-force fallback for queries the ring search never certified
