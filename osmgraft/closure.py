@@ -193,3 +193,65 @@ def multipolygon_rings(
             F.max("lat_e7").alias("maxy"),
         )
     )
+
+
+def multipolygon_geometry(
+    relations: DataFrame, ways: DataFrame, part_points: DataFrame
+) -> DataFrame:
+    """J7 (full form): the ASSEMBLED multipolygon geometry — per relation
+    the ordered ring node coordinates per role, the shape a downstream
+    renderer/tiler actually consumes (reference writes MapperPolygons:
+    outer parts first, then inner parts, each part an ordered node list
+    — mapper.c:659-751, mapper.h:22-28).
+
+    * member ways with role outer/''/inner only; '' counts as outer
+      (mapper.c:522); non-way members and invalid roles are skipped
+      (mapper.c:529-532);
+    * members referencing a missing way are skipped with no part slot,
+      matching the reference's invalid-reference path (mapper.c:712);
+    * part_idx: dense 0-based order over found parts — outers in member
+      order, then inners in member order;
+    * seq: the way's own node order (ring closure duplicate kept).
+
+    Output: (relation_id, part_idx, ring_way_id, role, seq,
+    lon_e7, lat_e7).
+    """
+    mp = relations.filter(F.col("tags").getItem("type") == "multipolygon")
+    mem = mp.select(
+        "relation_id", F.posexplode("members").alias("mpos", "m")
+    ).select(
+        "relation_id",
+        "mpos",
+        F.col("m.ref").alias("ring_way_id"),
+        F.col("m.type").alias("mtype"),
+        F.col("m.role").alias("mrole"),
+    )
+    valid = mem.filter(
+        (F.col("mtype") == "way") & F.col("mrole").isin("outer", "inner", "")
+    ).select(
+        "relation_id", "mpos", "ring_way_id",
+        F.when(F.col("mrole") == "inner", "inner").otherwise("outer")
+        .alias("role"),
+    )
+    found = valid.join(
+        ways.select(F.col("way_id").alias("ring_way_id"), "nodes"),
+        "ring_way_id",
+    )
+    w = Window.partitionBy("relation_id").orderBy(
+        (F.col("role") == "inner").cast("int"), F.col("mpos")
+    )
+    parts = found.withColumn(
+        "part_idx", (F.row_number().over(w) - 1).cast("int")
+    )
+    return (
+        parts.select(
+            "relation_id", "part_idx", "ring_way_id", "role",
+            F.posexplode("nodes").alias("seq", "node_id"),
+        )
+        .withColumn("seq", F.col("seq").cast("int"))
+        .join(part_points, "node_id")
+        .select(
+            "relation_id", "part_idx", "ring_way_id", "role", "seq",
+            "lon_e7", "lat_e7",
+        )
+    )

@@ -89,6 +89,35 @@ class Polygon:
     def n_segments(self) -> int:
         return int(self.p0x.size)
 
+    @classmethod
+    def from_segments(cls, boundary_id: int, name: str, p0x, p0y, p1x, p1y):
+        """Rebuild a polygon from flat segment arrays (executor-side
+        reconstruction for the distributed cover builder; ring structure
+        is irrelevant to cover/PIP, which run on the segment list)."""
+        self = cls.__new__(cls)
+        self.boundary_id = boundary_id
+        self.name = name
+        self.rings = []
+        self.p0x = np.asarray(p0x, dtype=np.int64)
+        self.p0y = np.asarray(p0y, dtype=np.int64)
+        self.p1x = np.asarray(p1x, dtype=np.int64)
+        self.p1y = np.asarray(p1y, dtype=np.int64)
+        if self.p0x.size:
+            self.bbox = (
+                int(min(self.p0x.min(), self.p1x.min())),
+                int(min(self.p0y.min(), self.p1y.min())),
+                int(max(self.p0x.max(), self.p1x.max())),
+                int(max(self.p0y.max(), self.p1y.max())),
+            )
+        else:
+            self.bbox = (
+                -cells.HALF_WORLD,
+                -cells.HALF_WORLD,
+                cells.HALF_WORLD,
+                cells.HALF_WORLD,
+            )
+        return self
+
     def segment_rows(self):
         """list of (p0x, p0y, p1x, p1y) python-int tuples (oracle SQL gen)."""
         return [

@@ -64,6 +64,55 @@ def cover_df(
     return spark.createDataFrame(rows, schema="boundary_id LONG, cell LONG")
 
 
+def cover_df_distributed(
+    spark: SparkSession,
+    polys: list[Polygon],
+    level: int,
+    compacted: bool = False,
+) -> DataFrame:
+    """Distributed form of :func:`cover_df`: cover construction runs as
+    a ``mapInPandas`` over a polygons DataFrame (one task per polygon
+    batch) instead of a driver loop — the shape that holds when the
+    boundary set is planet-scale (10k+ polygons), where the interior
+    grid scan per polygon is the expensive part.  Produces the identical
+    (boundary_id, cell) rows (same ``geometry.polygon_cover`` numpy code
+    executes on the workers)."""
+    rows = [
+        (
+            p.boundary_id,
+            p.p0x.tolist(), p.p0y.tolist(), p.p1x.tolist(), p.p1y.tolist(),
+        )
+        for p in polys
+        if p.n_segments > 0
+    ]
+    if not rows:
+        return spark.createDataFrame([], schema="boundary_id LONG, cell LONG")
+    n_part = min(len(rows), spark.sparkContext.defaultParallelism)
+    pdf = spark.createDataFrame(
+        rows,
+        schema=(
+            "boundary_id LONG, p0x ARRAY<LONG>, p0y ARRAY<LONG>, "
+            "p1x ARRAY<LONG>, p1y ARRAY<LONG>"
+        ),
+    ).repartition(n_part, "boundary_id")
+
+    def run(batches):
+        from osmgraft.geometry import Polygon as P
+        from osmgraft.geometry import polygon_cover as pc
+
+        for b in batches:
+            for r in b.itertuples(index=False):
+                poly = P.from_segments(
+                    int(r.boundary_id), "", r.p0x, r.p0y, r.p1x, r.p1y
+                )
+                cover = pc(poly, level, compacted=compacted)
+                yield pd.DataFrame(
+                    {"boundary_id": int(r.boundary_id), "cell": cover}
+                )
+
+    return pdf.mapInPandas(run, "boundary_id LONG, cell LONG")
+
+
 def _cover_levels(cov_rows) -> list[int]:
     return sorted({int(c) >> 52 for _, c in cov_rows})
 
@@ -140,7 +189,12 @@ def spatial_join(
     # has two branches over ``points`` (cover join + cross join); if the
     # points are UDF-derived (e.g. extraction output), persist/materialize
     # them first or the extraction runs once per branch.
-    cov = cover_df(spark, polys, level, compacted=compact_cover)
+    # Large boundary sets: build the cover on the executors — the driver
+    # loop is fine for tens of boundaries, a bottleneck for thousands.
+    if len(polys) > 64:
+        cov = cover_df_distributed(spark, polys, level, compacted=compact_cover)
+    else:
+        cov = cover_df(spark, polys, level, compacted=compact_cover)
     if compact_cover:
         levels = sorted(
             {r.cell >> 52 for r in cov.select("cell").distinct().collect()}
@@ -204,44 +258,40 @@ def _salted_sortmerge(
     result set is exactly the broadcast join's (probe-side salting +
     build-side replication preserves the cross product per cell).
     """
+    stats = pt.groupBy("cell").count()
     if hot_cell_threshold is None:
         # one cheap pass: cells whose point count exceeds 4x the mean
-        stats = pt.groupBy("cell").count()
         row = stats.agg(
             F.expr("percentile_approx(count, 0.999)").alias("p999"),
             F.avg("count").alias("mean"),
         ).collect()[0]
         hot_cell_threshold = max(int(row["mean"] * 4) + 1, int(row["p999"]))
-        hot = [
-            r.cell
-            for r in stats.filter(F.col("count") >= hot_cell_threshold)
-            .select("cell")
-            .collect()
-        ]
-    else:
-        hot = [
-            r.cell
-            for r in pt.groupBy("cell")
-            .count()
-            .filter(F.col("count") >= hot_cell_threshold)
-            .select("cell")
-            .collect()
-        ]
-    hot_arr = F.array(*[F.lit(int(c)) for c in hot]) if hot else F.array().cast(
-        "array<long>"
+    # hot-cell set stays a broadcast-joined DataFrame, never a driver
+    # literal — an F.array literal in the plan degenerates when a dense
+    # planet has millions of hot cells
+    hot_df = (
+        stats.filter(F.col("count") >= hot_cell_threshold)
+        .select("cell", F.lit(True).alias("is_hot"))
     )
-    is_hot = F.array_contains(hot_arr, F.col("cell")) if hot else F.lit(False)
+    is_hot = F.coalesce(F.col("is_hot"), F.lit(False))
 
-    salted_pt = pt.withColumn(
-        "salt",
-        F.when(is_hot, F.pmod(F.xxhash64("lon_e7", "lat_e7"), salt_buckets))
-        .otherwise(F.lit(0))
-        .cast("int"),
+    salted_pt = (
+        pt.join(F.broadcast(hot_df), "cell", "left")
+        .withColumn(
+            "salt",
+            F.when(is_hot, F.pmod(F.xxhash64("lon_e7", "lat_e7"), salt_buckets))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("is_hot")
     )
     buckets = spark.range(salt_buckets).select(F.col("id").cast("int").alias("salt"))
-    salted_cov = cov.withColumn("is_hot", is_hot).crossJoin(
-        F.broadcast(buckets)
-    ).filter((F.col("salt") == 0) | F.col("is_hot")).drop("is_hot")
+    salted_cov = (
+        cov.join(F.broadcast(hot_df), "cell", "left")
+        .crossJoin(F.broadcast(buckets))
+        .filter((F.col("salt") == 0) | is_hot)
+        .drop("is_hot")
+    )
 
     return salted_pt.hint("merge").join(salted_cov, ["cell", "salt"]).drop("salt")
 

@@ -434,6 +434,7 @@ def ann_topk(spark, sf_dir):
 
 from . import osm_fixtures, tiles  # noqa: E402
 from .closure import (  # noqa: E402
+    multipolygon_geometry,
     multipolygon_rings,
     relation_closure,
     relation_member_filter,
@@ -598,6 +599,39 @@ _WAY_ROUTE_SQL = f"""
            CAST(CASE WHEN kind = 'drop' THEN -1 ELSE 18 END AS INT) AS maxz
     FROM r
 """
+
+
+@_register(
+    "zoom_histogram_by_kind",
+    f"""
+    WITH pf AS ({_NODE_FEATURES_SQL}),
+    wr AS ({_WAY_ROUTE_SQL}),
+    u AS (
+      SELECT CAST(t.z AS INT) AS z, 'point' AS kind
+      FROM pf, UNNEST(generate_series(pf.minz, pf.maxz)) AS t(z)
+      UNION ALL
+      SELECT CAST(t.z AS INT) AS z, kind
+      FROM wr, UNNEST(generate_series(wr.minz, wr.maxz)) AS t(z)
+      WHERE wr.kind <> 'drop')
+    SELECT z,
+      CAST(SUM(CASE WHEN kind = 'point' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_points,
+      CAST(SUM(CASE WHEN kind = 'way' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_ways,
+      CAST(SUM(CASE WHEN kind = 'area' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_areas,
+      COUNT(*) AS n_total
+    FROM u GROUP BY 1
+    """,
+)
+def zoom_histogram_by_kind_q(spark, sf_dir):
+    """A3 full form: the reference's per-zoom Points/Ways/Areas/Total
+    statistics table (mapper.c:759-767)."""
+    nodes = osm_fixtures.nodes_df(spark, sf_dir)
+    ways = osm_fixtures.ways_df(spark, sf_dir)
+    return tiles.zoom_histogram_by_kind(
+        tiles.classify_points(nodes), tiles.route_ways(ways)
+    )
 
 
 @_register("way_route_classify", _WAY_ROUTE_SQL)
@@ -835,6 +869,65 @@ def multipolygon_assembly(spark, sf_dir):
     ways = osm_fixtures.ways_df(spark, sf_dir)
     pp = osm_fixtures.part_points_df(spark, sf_dir)
     return multipolygon_rings(rels, ways, pp)
+
+
+@_register(
+    "multipolygon_geometry",
+    f"""
+    WITH mem AS (
+      SELECT CAST(n_nationkey + 100 AS BIGINT) AS relation_id, 0 AS mpos,
+             CAST(n_nationkey * 9 + 3 AS BIGINT) AS ring_way_id,
+             'outer' AS role
+      FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey + 100 AS BIGINT), 1,
+             CAST(n_nationkey * 9 + 6 AS BIGINT), 'outer' FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey + 100 AS BIGINT), 2,
+             CAST(n_nationkey * 9 + 12 AS BIGINT), 'inner' FROM nation),
+    -- a part slot requires the way to EXIST AND have >= 1 node (an
+    -- order with zero lineitems is not a way in the ways fixture);
+    -- nodeless ways cannot contribute a ring part
+    found AS (
+      SELECT m.* FROM mem m
+      JOIN orders o ON o.o_orderkey = m.ring_way_id
+      JOIN (SELECT DISTINCT l_orderkey FROM lineitem) ln
+        ON ln.l_orderkey = m.ring_way_id),
+    parts AS (
+      SELECT relation_id, ring_way_id, role,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY relation_id
+               ORDER BY CASE WHEN role = 'inner' THEN 1 ELSE 0 END, mpos
+             ) - 1 AS INT) AS part_idx
+      FROM found),
+    wn AS (
+      SELECT l_orderkey AS way_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) - 1
+                  AS INT) AS seq,
+             l_partkey AS node_id
+      FROM lineitem),
+    closing AS (
+      SELECT f.way_id, c.cnt AS seq, f.node_id
+      FROM (SELECT way_id, node_id FROM wn WHERE seq = 0) f
+      JOIN (SELECT way_id, CAST(COUNT(*) AS INT) AS cnt
+            FROM wn GROUP BY 1) c ON c.way_id = f.way_id
+      WHERE f.way_id % 3 = 0),
+    wn_all AS (SELECT * FROM wn UNION ALL SELECT * FROM closing)
+    SELECT p.relation_id, p.part_idx, p.ring_way_id, p.role, w.seq,
+           pp.lon_e7, pp.lat_e7
+    FROM parts p
+    JOIN wn_all w ON w.way_id = p.ring_way_id
+    JOIN ({_PART_PTS}) pp ON pp.node_id = w.node_id
+    """,
+)
+def multipolygon_geometry_q(spark, sf_dir):
+    """J7 full form: assembled multipolygon ring geometry — ordered node
+    coords per part, outers before inners (mapper.c:659-751)."""
+    rels = osm_fixtures.relations_df(spark, sf_dir)
+    ways = osm_fixtures.ways_df(spark, sf_dir)
+    pp = osm_fixtures.part_points_df(spark, sf_dir)
+    return multipolygon_geometry(rels, ways, pp)
 
 
 # ---------------------------------------------------------------------------

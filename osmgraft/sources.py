@@ -240,6 +240,103 @@ def viewport_query(
     )
 
 
+def _tile_expr(col_expr: str, level: int) -> "F.Column":
+    """Exact int64 axis->tile mapping (same math as cells._axis_to_tile:
+    ((v + HALF_WORLD) << level) // WORLD, clamped); DIV on non-negative
+    longs truncates == floors, so no float path anywhere."""
+    from .cells import HALF_WORLD, WORLD
+
+    t = F.expr(
+        f"(({col_expr} + {HALF_WORLD}L) * {1 << level}L) DIV {WORLD}L"
+    )
+    return F.greatest(F.lit(0), F.least(F.lit((1 << level) - 1), t))
+
+
+def write_feature_store_4d(
+    features: DataFrame,
+    path: str,
+    max_level: int = 12,
+    compression: str = "zstd",
+) -> None:
+    """J8 extended-feature sink: bbox features stored quadtree-style —
+    the distributed stand-in for the reference's 4-D bbox kd-tree
+    (``osmc/4DTree.c:63-154``), which serves features whose bbox
+    *intersects* a viewport (a point-tile predicate cannot answer that
+    for features spanning tiles).
+
+    Each feature (id, minx, miny, maxx, maxy, ...payload) is assigned
+    the DEEPEST level in 0..max_level at which one tile fully contains
+    its bbox, then stored partitioned by that level and sorted by
+    (tile_y, tile_x) within partitions: a viewport query prunes level
+    directories + Parquet row groups per level.  Indexing is in raw
+    e7 lon/lat space, like the reference tree's raw int coords; the
+    exact intersect predicate runs on the stored bbox ints."""
+    chain = None
+    for lvl in range(max_level, -1, -1):
+        fits = (
+            (_tile_expr("minx", lvl) == _tile_expr("maxx", lvl))
+            & (_tile_expr("miny", lvl) == _tile_expr("maxy", lvl))
+        )
+        chain = F.when(fits, lvl) if chain is None else chain.when(fits, lvl)
+    staged = features.withColumn("level", chain.otherwise(0).cast("int"))
+    # containing tile at the fit level (JVM-only CASE; level 0 is the
+    # single world tile -> index 0)
+    tx = F.lit(0).cast("long")
+    ty = F.lit(0).cast("long")
+    for lvl in range(max_level, 0, -1):
+        tx = F.when(F.col("level") == lvl, _tile_expr("minx", lvl)).otherwise(tx)
+        ty = F.when(F.col("level") == lvl, _tile_expr("miny", lvl)).otherwise(ty)
+    staged = staged.withColumn("tile_x", tx).withColumn("tile_y", ty)
+    (
+        staged.repartition("level")
+        .sortWithinPartitions("tile_y", "tile_x")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("level")
+        .parquet(path)
+    )
+
+
+def viewport_query_4d(
+    spark: SparkSession,
+    store_path: str,
+    min_lon_e7: int,
+    min_lat_e7: int,
+    max_lon_e7: int,
+    max_lat_e7: int,
+    max_level: int = 12,
+) -> DataFrame:
+    """Features whose bbox INTERSECTS the viewport (4DTree.c query
+    semantics).  One pruned scan per level (partition-directory prune on
+    ``level`` + row-group min/max prune on the sorted tile columns),
+    unioned, then the exact e7 bbox-overlap predicate."""
+    from functools import reduce
+
+    import numpy as np
+
+    from . import cells as C
+
+    parts = []
+    for lvl in range(0, max_level + 1):
+        tx0 = int(C._axis_to_tile(np.int64(min_lon_e7), lvl))
+        tx1 = int(C._axis_to_tile(np.int64(max_lon_e7), lvl))
+        ty0 = int(C._axis_to_tile(np.int64(min_lat_e7), lvl))
+        ty1 = int(C._axis_to_tile(np.int64(max_lat_e7), lvl))
+        parts.append(
+            spark.read.parquet(store_path)
+            .filter(F.col("level") == lvl)
+            .filter(F.col("tile_x").between(tx0, tx1))
+            .filter(F.col("tile_y").between(ty0, ty1))
+        )
+    exact = (
+        (F.col("maxx") >= F.lit(int(min_lon_e7)))
+        & (F.col("minx") <= F.lit(int(max_lon_e7)))
+        & (F.col("maxy") >= F.lit(int(min_lat_e7)))
+        & (F.col("miny") <= F.lit(int(max_lat_e7)))
+    )
+    return reduce(DataFrame.unionByName, parts).filter(exact)
+
+
 def write_tile_store(
     tiles: DataFrame, path: str, compression: str = "zstd"
 ) -> None:

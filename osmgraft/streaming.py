@@ -54,6 +54,58 @@ def tumbling_event_counts(
     )
 
 
+# Catch-up planner constants (osmc.c:304-311): the *_SLOWNESS margins
+# keep a publication-lag safety buffer — never plan a diff the publisher
+# may not have finished writing yet.
+MINUTE, HOUR, DAY = 1, 60, 60 * 24
+MINUTE_SLOWNESS, HOUR_SLOWNESS, DAY_SLOWNESS = 5, 1, 1
+
+
+def catchup_plan(lag_minutes: int) -> list[tuple[str, int]]:
+    """Convert replication lag into a daily -> hourly -> minute batch
+    plan (reference ``updateLFromWeb``, osmc.c:451-492): consume the lag
+    with the coarsest diffs first, each granularity holding back its
+    publication-lag slowness margin.
+
+    Returns [(granularity, n_batches), ...]; an EMPTY plan means the
+    store is up to date (lag within the minute slowness margin) — the
+    reference's "DB is up to date" early exit: with no minute batches
+    due, coarser ones are never planned either.
+    """
+    lag = int(lag_minutes)
+    plan: list[tuple[str, int]] = []
+    n_daily = n_hourly = 0
+    if lag // DAY > DAY_SLOWNESS:
+        n_daily = lag // DAY - DAY_SLOWNESS
+        lag -= n_daily * DAY
+    if lag // HOUR > HOUR_SLOWNESS:
+        n_hourly = lag // HOUR - HOUR_SLOWNESS
+        lag -= n_hourly * HOUR
+    if lag // MINUTE > MINUTE_SLOWNESS:
+        n_minute = lag - MINUTE_SLOWNESS
+    else:
+        return []  # up to date -> nothing to apply at all
+    if n_daily:
+        plan.append(("daily", n_daily))
+    if n_hourly:
+        plan.append(("hourly", n_hourly))
+    plan.append(("minute", n_minute))
+    return plan
+
+
+def files_per_trigger_for_plan(plan: list[tuple[str, int]]) -> int:
+    """Map a catch-up plan onto micro-batch sizing: when days of lag are
+    queued, coalesce a day's worth of diff files per trigger; hours of
+    lag coalesce an hour's worth; near-real-time applies one file per
+    trigger (minimum end-to-end latency)."""
+    gran = {g for g, _ in plan}
+    if "daily" in gran:
+        return 24
+    if "hourly" in gran:
+        return 4
+    return 1
+
+
 def stateful_first_seen(
     stream: DataFrame,
     key_col: str = "fp",
@@ -108,17 +160,26 @@ def stream_changes_into_store(
     schema: str,
     store: SnapshotStore,
     polys,
+    lag_minutes: int | None = None,
 ) -> None:
     """Micro-batch replication: each file batch of point changes is
     merged into the snapshot store with spatial re-cut, committing one
     snapshot per non-empty batch (checkpoint advances only on success —
     the T6 contract).  Runs with availableNow semantics and returns when
-    the backlog is drained."""
+    the backlog is drained.
+
+    ``lag_minutes`` (watermark age) engages the catch-up planner: a
+    large backlog coalesces many diff files per trigger (fewer, bigger
+    snapshots while far behind — the reference's daily->hourly->minute
+    laddering), dropping back to one file per trigger near real time."""
     from .store import apply_geo_changes
 
+    per_trigger = 1
+    if lag_minutes is not None:
+        per_trigger = files_per_trigger_for_plan(catchup_plan(lag_minutes))
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", per_trigger)
         .parquet(changes_dir)
     )
 

@@ -209,6 +209,35 @@ def zoom_histogram(features: DataFrame) -> DataFrame:
     )
 
 
+def zoom_histogram_by_kind(
+    points: DataFrame, routed_ways: DataFrame
+) -> DataFrame:
+    """The reference's zoom statistics table pivoted by feature kind —
+    | Level | Points | Ways | Areas || Total | (osmc/mapper.c:759-767).
+
+    ``points``: classified point features (minz, maxz);
+    ``routed_ways``: route_ways output (kind in way/area/drop) — drops
+    are excluded, matching the reference counting only converted
+    features."""
+    p = points.select(
+        F.explode(F.sequence("minz", "maxz")).alias("z"),
+        F.lit("point").alias("kind"),
+    )
+    w = routed_ways.filter(F.col("kind") != "drop").select(
+        F.explode(F.sequence("minz", "maxz")).alias("z"), "kind"
+    )
+    u = p.unionByName(w)
+    cnt = lambda k: F.sum(  # noqa: E731
+        F.when(F.col("kind") == k, 1).otherwise(0)
+    )
+    return u.groupBy(F.col("z").cast("int").alias("z")).agg(
+        cnt("point").alias("n_points"),
+        cnt("way").alias("n_ways"),
+        cnt("area").alias("n_areas"),
+        F.count("*").alias("n_total"),
+    )
+
+
 def rollup_tiles(tiles: DataFrame, from_z: int, to_z: int) -> DataFrame:
     """Raster-style parent rollup: aggregate per-tile feature counts from
     ``from_z`` up to every level down to ``to_z`` (A7; child counts sum

@@ -91,3 +91,24 @@ def test_repartition_invariance(spark, entities):
         )
     )
     assert shuffled == base
+
+
+def test_distributed_cover_matches_driver_cover(spark):
+    from osmgraft import synth
+    from osmgraft.join import DEFAULT_COVER_LEVEL, cover_df, cover_df_distributed
+
+    polys = synth.boundaries()
+    for compacted in (False, True):
+        a = {
+            (r.boundary_id, r.cell)
+            for r in cover_df(
+                spark, polys, DEFAULT_COVER_LEVEL, compacted=compacted
+            ).collect()
+        }
+        b = {
+            (r.boundary_id, r.cell)
+            for r in cover_df_distributed(
+                spark, polys, DEFAULT_COVER_LEVEL, compacted=compacted
+            ).collect()
+        }
+        assert a == b and a

@@ -165,3 +165,74 @@ def test_viewport_query_prunes_and_matches(spark, tmp_path, sf_dir):
     # pruning: only z=14 partition files are touched
     files = got.select(F.input_file_name()).distinct().collect()
     assert files and all("z=14" in f[0] for f in files)
+
+
+def test_viewport_4d_intersects_and_prunes(spark, tmp_path, sf_dir):
+    from osmgraft import osm_fixtures
+    from osmgraft.sources import viewport_query_4d, write_feature_store_4d
+
+    ways = osm_fixtures.ways_df(spark, sf_dir)
+    pp = osm_fixtures.part_points_df(spark, sf_dir)
+    feats = (
+        ways.select("way_id", F.explode("nodes").alias("node_id"))
+        .join(pp, "node_id")
+        .groupBy("way_id")
+        .agg(
+            F.min("lon_e7").alias("minx"), F.min("lat_e7").alias("miny"),
+            F.max("lon_e7").alias("maxx"), F.max("lat_e7").alias("maxy"),
+        )
+    ).cache()
+    out = str(tmp_path / "fstore4d")
+    write_feature_store_4d(feats, out, max_level=12)
+
+    vp = (-900_000_000, -450_000_000, -200_000_000, 300_000_000)
+    got = viewport_query_4d(spark, out, *vp, max_level=12)
+    got_ids = {r.way_id for r in got.collect()}
+
+    want_ids = {
+        r.way_id
+        for r in feats.collect()
+        if r.maxx >= vp[0] and r.minx <= vp[2]
+        and r.maxy >= vp[1] and r.miny <= vp[3]
+    }
+    assert want_ids, "viewport should not be empty at this SF"
+    assert got_ids == want_ids
+
+    # spanning features must be found even when the viewport misses
+    # their min corner's tile (the case a point-tile index cannot serve)
+    spanning = {
+        r.way_id for r in feats.collect()
+        if r.minx < vp[0] and r.maxx >= vp[0]
+        and r.maxy >= vp[1] and r.miny <= vp[3]
+    }
+    assert spanning <= got_ids
+
+    # pruning: the level-directory + row-group scan must skip files
+    import glob as _glob
+    total_files = len(_glob.glob(f"{out}/level=*/**/*.parquet", recursive=True))
+    touched = {
+        r[0] for r in got.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(touched) < total_files, (
+        f"no pruning: touched {len(touched)} of {total_files}"
+    )
+
+
+def test_viewport_4d_empty_viewport_returns_nothing(spark, tmp_path, sf_dir):
+    from osmgraft import osm_fixtures
+    from osmgraft.sources import viewport_query_4d, write_feature_store_4d
+
+    pp = osm_fixtures.part_points_df(spark, sf_dir).limit(50)
+    feats = pp.select(
+        F.col("node_id").alias("way_id"),
+        F.col("lon_e7").alias("minx"), F.col("lat_e7").alias("miny"),
+        (F.col("lon_e7") + 1000).alias("maxx"),
+        (F.col("lat_e7") + 1000).alias("maxy"),
+    )
+    out = str(tmp_path / "fstore4d_tiny")
+    write_feature_store_4d(feats, out, max_level=12)
+    # a viewport in the far north-east void of the fixture coordinate space
+    got = viewport_query_4d(
+        spark, out, 1_790_000_000, 890_000_000, 1_799_000_000, 899_000_000
+    )
+    assert got.count() == 0
