@@ -43,7 +43,11 @@ def flagship_pages_per_sec(spark):
         t0 = time.time()
         # materialize extraction output once — the join plan has two
         # branches (cover join + empty-polygon cross join) over entities
-        ents = extract_entities(pages).persist(StorageLevel.MEMORY_AND_DISK)
+        # projection pushed through the Arrow boundary: the tile cut
+        # reads neither url nor mention, so they are never shipped
+        ents = extract_entities(
+            pages, columns=("doc_id", "ent_idx", "lat_e7", "lon_e7")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         joined = spatial_join(spark, ents, synth.boundaries())
         tx, ty = cells.mercator_tile_cols(F.col("lon_e7"), F.col("lat_e7"), 12)
         out = joined.select(
@@ -75,6 +79,9 @@ def main():
         "dedup_exact",
         "doc_token_stats",
         "ann_topk",
+        "tile_rollup",
+        "corpus_clean",
+        "dedup_minhash_lsh",
     ]
     per_query = {}
     for name in bench_queries:

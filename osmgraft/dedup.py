@@ -151,6 +151,62 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Near-dup cluster assignment: (doc_id, cluster_id, n_members) for
+    every doc appearing in >= 1 candidate pair, where ``cluster_id`` is
+    the minimum doc_id of the connected component — the canonical-doc
+    step every production dedup pipeline runs after pair generation
+    (keep cluster_id, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes.  Rounds needed = graph diameter, and LSH/simhash dup
+    components are near-cliques (diameter 2-3 in practice), so this
+    terminates in a handful of rounds; the O(log n) large-star/small-star
+    variant is the upgrade path if adversarial chain-shaped components
+    ever appear.  Each round is one equi-join + one groupBy on doc_id —
+    shuffle sized by the *edge* set, never all-pairs; lineage is
+    truncated per round (localCheckpoint) so plan cost stays flat.
+    """
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nb = edges.join(
+            labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("doc_id"), "label")
+        new = (
+            labels.unionByName(nb)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"not converged after {max_rounds} rounds")
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "n_members"
+    )
+
+
 def simhash(df: DataFrame, bits: int = 64) -> DataFrame:
     """(doc_id, sim_hi, sim_lo): md5-bit majority vote over distinct
     tokens, split into two non-negative 32-bit halves.

@@ -1198,6 +1198,82 @@ def quality_score_q(spark, sf_dir):
 
 
 @_register(
+    "bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+    FROM documents
+    """,
+)
+def bpe_token_count_q(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (subword budget) next to the
+    whitespace count; ASCII classes keep Java regex and RE2 identical."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.bpe_token_count(d)
+
+
+@_register(
+    "corpus_clean",
+    f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ({_STOP_LIST}))) AS n_stop
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, n_tok,
+             (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+           + (CASE WHEN uniq >= 0.3 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_stop > 0 THEN 1 ELSE 0 END) AS quality,
+             CAST(n_stop AS DOUBLE) / n_tok >= 0.05 AS is_en,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+      FROM s)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(quality AS INT) AS quality
+    FROM scored
+    WHERE quality >= 2 AND is_en AND doc_id = canonical
+    """,
+)
+def corpus_clean(spark, sf_dir):
+    """The composed training-data cleaning pipeline: language filter +
+    quality filter + exact-dedup keep-canonical, in one declarative
+    plan (filters fuse into the scan; the only shuffle is the dedup
+    window on the content hash)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    uniq = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_arr = F.array(*[F.lit(s) for s in textstats.EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    quality = (
+        F.when((n_tok >= 10) & (n_tok <= 1000), 1).otherwise(0)
+        + F.when(uniq >= 0.3, 1).otherwise(0)
+        + F.when(n_stop > 0, 1).otherwise(0)
+    )
+    w = Window.partitionBy(F.md5("text"))
+    return (
+        d.select(
+            "doc_id",
+            n_tok.cast("bigint").alias("n_tokens"),
+            quality.cast("int").alias("quality"),
+            (n_stop.cast("double") / n_tok >= 0.05).alias("is_en"),
+            F.min("doc_id").over(w).alias("canonical"),
+        )
+        .filter(
+            (F.col("quality") >= 2)
+            & F.col("is_en")
+            & (F.col("doc_id") == F.col("canonical"))
+        )
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+@_register(
     "doc_fingerprint",
     r"""
     SELECT doc_id,
@@ -1254,6 +1330,32 @@ def media_stats(spark, sf_dir):
     media = multimodal.media_from_documents(docs)
     feats = multimodal.extract_features(media, fake=True)
     return feats.select("media_id", "kind", "n_bytes")
+
+
+@_register(
+    "media_dimensions",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN (doc_id // 3) % 3 = 0 THEN 'png'
+                WHEN (doc_id // 3) % 3 = 1 THEN 'jpeg'
+                ELSE 'gif' END AS fmt,
+           CAST(1 + doc_id % 64 AS INT) AS width,
+           CAST(1 + (doc_id * 7) % 48 AS INT) AS height
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def media_dimensions(spark, sf_dir):
+    """Real image-header decode: synthesize *valid* PNG/JPEG/GIF
+    container bytes per image doc, then parse dimensions back out of
+    the raw bytes with the pure-stdlib header parser.  The oracle is
+    the closed-form generator arithmetic, so a disagreement anywhere in
+    the generate -> Arrow -> parse path fails the gate."""
+    from . import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.media_images_from_documents(docs)
+    return multimodal.image_dimensions(media)
 
 
 # ---------------------------------------------------------------------------
@@ -1506,6 +1608,44 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @_register(
+    "ann_ivf_topk_nprobe",
+    f"""
+    WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
+    cents AS (SELECT vec_id AS cid, qvec AS cvec FROM q WHERE vec_id < 8),
+    dots AS (
+      SELECT q.vec_id, c.cid, q.qvec,
+             (SELECT SUM(q.qvec[i] * c.cvec[i])
+              FROM UNNEST(generate_series(1, 64)) AS t(i)) AS dot
+      FROM q CROSS JOIN cents c),
+    ranked AS (
+      SELECT vec_id, cid, qvec,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, cid) AS rn
+      FROM dots),
+    probe AS (SELECT vec_id AS qid, qvec AS qv, cid AS centroid_id
+              FROM ranked WHERE rn <= 2),
+    idx AS (SELECT vec_id AS pid, qvec AS pv, cid AS centroid_id
+            FROM ranked WHERE rn = 1),
+    pairs AS (
+      SELECT p.qid, x.pid,
+             (SELECT SUM(p.qv[i] * x.pv[i])
+              FROM UNNEST(generate_series(1, 64)) AS t(i)) AS dot
+      FROM probe p JOIN idx x ON p.centroid_id = x.centroid_id
+      WHERE p.qid <> x.pid)
+    SELECT qid, pid, CAST(rank AS INT) AS rank FROM (
+      SELECT qid, pid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, pid) AS rank
+      FROM pairs) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk_nprobe(spark, sf_dir):
+    """Multi-probe IVF top-k (nprobe=2): the recall/cost dial — probe
+    fan-out doubles, the index and the equi-join shape stay fixed."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk_multiprobe(e, k=5, n_centroids=8, nprobe=2)
+
+
+@_register(
     "ann_cosine_topk_ivf",
     f"""
     WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
@@ -1655,3 +1795,38 @@ def dedup_simhash_pairs(spark, sf_dir):
     to which the banded result set is provably identical."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash_hamming_pairs(dedup.simhash(d, bits=64), max_hamming=2)
+
+
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_SIMHASH_SQL}),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+              + bit_count(xor(a.sim_lo, b.sim_lo)) <= 2
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+    FROM lab
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the simhash near-dup pair graph:
+    canonical-doc assignment (cluster_id = min doc_id of the component)
+    via distributed min-label propagation; the oracle recomputes the
+    components with a recursive transitive-closure CTE."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.simhash_hamming_pairs(dedup.simhash(d, bits=64), max_hamming=2)
+    return dedup.connected_components(pairs)

@@ -17,7 +17,14 @@ def get_spark(
     app: str = "osmgraft",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    honest_cores: bool = False,
 ) -> SparkSession:
+    """``honest_cores=True`` additionally caps the JVM's own view of the
+    machine (``-XX:ActiveProcessorCount=cores``): GC/JIT/netty pools are
+    sized for ``cores`` instead of the host's 32, which is how a real
+    N-core executor behaves under cgroups.  Used by the scaling bench —
+    without it a ``local[2]`` run quietly borrows ~30 extra cores for
+    GC and JIT, inflating the small-cluster baseline."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(cores, 8)
     builder = (
@@ -29,11 +36,23 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fewer, larger Arrow batches: halves per-batch scheduling and
+        # (de)serialization overhead on the mapInPandas hot path; 20k
+        # rows of ~1 KB page text is ~20 MB per in-flight batch per core
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "20000"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    if honest_cores:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={cores}",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -201,6 +201,55 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def ivf_topk_multiprobe(
+    df: DataFrame, k: int = 5, n_centroids: int = 8, nprobe: int = 2
+) -> DataFrame:
+    """IVF top-k with multi-probe recall: each query searches its
+    ``nprobe`` nearest centroid buckets (points stay indexed under their
+    single nearest centroid, so the index is unchanged — only the probe
+    fan-out grows).  Still an equi-join on centroid_id; candidate volume
+    scales linearly with nprobe, the standard recall/cost dial.
+    A (query, point) pair can collide at most once because point buckets
+    are disjoint.  Output: (qid, pid, rank) by quantized inner product."""
+    q = quantized(df).select("vec_id", "qvec")
+    cents = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec")
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid").asc())
+    ranked = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("dot", dot)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    probe = ranked.filter(F.col("rn") <= nprobe).select(
+        F.col("vec_id").alias("qid"), F.col("qvec").alias("qv"),
+        F.col("cid").alias("centroid_id"),
+    )
+    index = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv"),
+        F.col("cid").alias("centroid_id"),
+    )
+    pdot = F.aggregate(
+        F.zip_with("qv", "pv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("pid").asc())
+    return (
+        probe.join(index, "centroid_id")
+        .filter(F.col("qid") != F.col("pid"))
+        .withColumn("dot", pdot)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", "pid", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def _norm2_col() -> "F.Column":
     return F.aggregate(
         F.transform("qvec", lambda x: x * x),

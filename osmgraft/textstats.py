@@ -63,6 +63,25 @@ def quality_score(df: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs,
+# each with an optional leading space (GPT-2-style splitting, ASCII
+# classes so Java regex and RE2 count identically)
+BPE_SPLIT_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(df: DataFrame) -> DataFrame:
+    """Subword-style token counts from the BPE pre-tokenizer regex —
+    the train-data budget number (whitespace tokens undercount code /
+    punctuation-heavy text).  Pure JVM ``regexp_count``."""
+    return df.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_RE))
+        .cast("bigint")
+        .alias("n_bpe"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_ws"),
+    )
+
+
 def fingerprint(df: DataFrame) -> DataFrame:
     """Normalized-content fingerprint: md5 over lowercased,
     whitespace-collapsed text (the U2/U3 idempotence key)."""

@@ -240,27 +240,38 @@ def zoom_histogram_by_kind(
 
 def rollup_tiles(tiles: DataFrame, from_z: int, to_z: int) -> DataFrame:
     """Raster-style parent rollup: aggregate per-tile feature counts from
-    ``from_z`` up to every level down to ``to_z`` (A7; child counts sum
-    into parents level by level — partial aggregation at each step).
+    ``from_z`` up to every level down to ``to_z`` (A7).
     Input: rows with (z, tile_x, tile_y) at z == from_z.
     Output: (z, tile_x, tile_y, n) for every z in [to_z, from_z].
+
+    Two shuffles total, independent of level span: (1) aggregate
+    feature rows to base-zoom tile counts — the only shuffle sized by
+    the *feature* count; (2) explode each (already tile-sized) count
+    row into its ancestor chain (parent at z = tile >> (from_z - z))
+    and one groupBy.  The per-level chained form shuffled once per zoom
+    step (7-11 s of pure stage overhead at sf0.1; at 100 TB, span
+    sequential barriers); the ancestor-explode form costs span x
+    |base tiles| shuffle rows, bounded by the tile grid, not the data.
     """
-    cur = (
+    base = (
         tiles.filter(F.col("z") == from_z)
-        .groupBy("z", "tile_x", "tile_y")
+        .groupBy("tile_x", "tile_y")
         .agg(F.count("*").alias("n"))
     )
-    out = cur
-    for z in range(from_z - 1, to_z - 1, -1):
-        cur = (
-            cur.select(
-                F.lit(z).alias("z"),
-                F.shiftright(F.col("tile_x"), 1).alias("tile_x"),
-                F.shiftright(F.col("tile_y"), 1).alias("tile_y"),
-                F.col("n"),
-            )
-            .groupBy("z", "tile_x", "tile_y")
-            .agg(F.sum("n").alias("n"))
+    anc = base.select(
+        F.explode(F.sequence(F.lit(to_z), F.lit(from_z))).alias("z"),
+        "tile_x",
+        "tile_y",
+        "n",
+    )
+    return (
+        anc.select(
+            F.col("z").cast("long").alias("z"),
+            # column-valued shift count needs the SQL form
+            F.expr(f"shiftright(tile_x, {from_z} - CAST(z AS INT))").alias("tile_x"),
+            F.expr(f"shiftright(tile_y, {from_z} - CAST(z AS INT))").alias("tile_y"),
+            "n",
         )
-        out = out.unionByName(cur)
-    return out
+        .groupBy("z", "tile_x", "tile_y")
+        .agg(F.sum("n").alias("n"))
+    )

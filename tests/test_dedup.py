@@ -75,3 +75,32 @@ def test_simhash_pairs_plan_has_no_theta_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_connected_components_chain_triangle_and_pair(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        schema="doc_a LONG, doc_b LONG",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.n_members)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 3), 11: (10, 3), 12: (10, 3),
+        20: (20, 2), 21: (20, 2),
+    }
+
+
+def test_connected_components_raises_when_round_capped(spark):
+    # a 6-node path needs >1 propagation round; max_rounds=1 must not
+    # silently return a partial labeling
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], schema="doc_a LONG, doc_b LONG"
+    )
+    with _pytest.raises(RuntimeError):
+        dedup.connected_components(pairs, max_rounds=1)

@@ -67,3 +67,30 @@ def test_jvm_path_equals_pandas_path(spark, sf_dir):
         for r in extract_entities_jvm(pages).collect()
     }
     assert a == b and a
+
+
+def test_projection_pushdown_equals_full_path(spark, sf_dir):
+    pages = synth.pages_df(spark, sf_dir)
+    full = {
+        (r.doc_id, r.ent_idx, r.lat_e7, r.lon_e7)
+        for r in extract_entities(pages).collect()
+    }
+    pruned_df = extract_entities(
+        pages, columns=("doc_id", "ent_idx", "lat_e7", "lon_e7")
+    )
+    assert pruned_df.columns == ["doc_id", "ent_idx", "lat_e7", "lon_e7"]
+    pruned = {tuple(r) for r in pruned_df.collect()}
+    assert pruned == full and full
+    # order of the requested tuple must not matter (schema order wins)
+    reordered = extract_entities(
+        pages, columns=("lon_e7", "doc_id", "lat_e7", "ent_idx")
+    )
+    assert reordered.columns == ["doc_id", "ent_idx", "lat_e7", "lon_e7"]
+
+
+def test_projection_pushdown_rejects_unknown_column(spark, sf_dir):
+    import pytest as _pytest
+
+    pages = synth.pages_df(spark, sf_dir)
+    with _pytest.raises(ValueError):
+        extract_entities(pages, columns=("doc_id", "nope"))

@@ -1,0 +1,83 @@
+"""Image-container synthesis + header-parse round-trip, and the
+media_dimensions pipeline vs its closed-form."""
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osmgraft.multimodal import (
+    parse_image_header,
+    synth_dims,
+    synth_image_payload,
+)
+
+
+@given(st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=200, deadline=None)
+def test_header_roundtrip(doc_id):
+    fmt, w, h = synth_dims(doc_id)
+    parsed = parse_image_header(synth_image_payload(doc_id))
+    assert parsed == (fmt, w, h)
+
+
+def test_png_payload_is_a_valid_container():
+    # fmt cycle: (doc_id // 3) % 3 == 0 -> png; doc_id=0 qualifies
+    b = synth_image_payload(0)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    # walk chunks verifying CRCs and that IDAT inflates to the raster size
+    fmt, w, h = synth_dims(0)
+    i, seen = 8, []
+    while i < len(b):
+        (ln,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + ln]
+        (crc,) = struct.unpack(">I", b[i + 8 + ln : i + 12 + ln])
+        assert crc == zlib.crc32(tag + body) & 0xFFFFFFFF
+        seen.append(tag)
+        if tag == b"IDAT":
+            assert len(zlib.decompress(body)) == h * (1 + 3 * w)
+        i += 12 + ln
+    assert seen == [b"IHDR", b"IDAT", b"IEND"]
+
+
+def test_parser_rejects_garbage_without_raising():
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4) is None
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # SOI+EOI, no SOF
+    assert parse_image_header(b"not an image at all") is None
+    # truncated JPEG mid-segment
+    assert parse_image_header(b"\xff\xd8\xff\xc0\x00\x11\x08") is None
+
+
+def test_jpeg_parser_skips_leading_segments():
+    # APP1 (Exif-style) before SOF2 (progressive), dims still found
+    sof2 = struct.pack(">BHH", 8, 123, 77) + bytes([1, 1, 0x11, 0])
+    app1 = b"Exif\x00\x00" + b"\x00" * 10
+    b = (
+        b"\xff\xd8"
+        + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+        + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+        + b"\xff\xd9"
+    )
+    assert parse_image_header(b) == ("jpeg", 77, 123)
+
+
+@pytest.mark.usefixtures("spark")
+def test_media_dimensions_matches_closed_form(spark, sf_dir):
+    from osmgraft.multimodal import image_dimensions, media_images_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_images_from_documents(docs)
+    got = {
+        r.media_id: (r.fmt, r.width, r.height)
+        for r in image_dimensions(media).collect()
+    }
+    want = {
+        int(r.doc_id): synth_dims(int(r.doc_id))
+        for r in docs.select("doc_id").collect()
+        if int(r.doc_id) % 3 == 0
+    }
+    assert got == want and got
