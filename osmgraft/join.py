@@ -358,7 +358,20 @@ def knn(
     # driver/plan cost across iterations)
     pending = qt.localCheckpoint(eager=True)
     n_pending = pending.count()
-    r_prev, r = -1, 1
+    # density-derived initial radius: every ring round costs ~3
+    # driver-synchronized jobs, so starting at r=1 wastes 2-3 rounds
+    # whenever k neighbors need a wider disk.  Expected points in the
+    # (2r+1)^2 disk = lam * (2r+1)^2 with lam = points per occupied
+    # cell; aim for ~4k candidates so round one usually certifies.
+    # Correctness is radius-based certification — r0 only changes how
+    # much of the disk the first annulus covers, never the guarantee.
+    stats = pt.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cx", "cy").alias("cells"),
+    ).collect()[0]
+    lam = max(float(stats["n"]) / max(int(stats["cells"]), 1), 1e-9)
+    r0 = int(((4.0 * k / lam) ** 0.5 - 1.0) / 2.0) + 1
+    r_prev, r = -1, min(max(r0, 1), 64)
     w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), F.col("pid").asc())
     # carry = running top-k per still-pending query; each round joins
     # ONLY the new annulus cells (r_prev, r] — the inner disk was already

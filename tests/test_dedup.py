@@ -104,3 +104,26 @@ def test_connected_components_raises_when_round_capped(spark):
     )
     with _pytest.raises(RuntimeError):
         dedup.connected_components(pairs, max_rounds=1)
+
+
+def test_star_components_equal_label_propagation(spark):
+    import random
+
+    rnd = random.Random(11)
+    # random graph: chains, triangles, singleton pairs, a 40-node path
+    # (diameter 39 — the min-label worst case, star's O(log n) case)
+    pairs = [(i, i + 1) for i in range(100, 140)]
+    for _ in range(60):
+        a, b = rnd.randrange(0, 60), rnd.randrange(0, 60)
+        if a != b:
+            pairs.append((min(a, b), max(a, b)))
+    df = spark.createDataFrame(pairs, schema="doc_a LONG, doc_b LONG")
+    a = {
+        (r.doc_id, r.cluster_id, r.n_members)
+        for r in dedup.connected_components(df, max_rounds=50).collect()
+    }
+    b = {
+        (r.doc_id, r.cluster_id, r.n_members)
+        for r in dedup.connected_components_star(df).collect()
+    }
+    assert a == b and a
