@@ -1662,6 +1662,54 @@ def ann_ivf_topk_nprobe(spark, sf_dir):
 
 
 @_register(
+    "ann_ivf_trained",
+    f"""
+    WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, qvec AS cvec FROM q WHERE vec_id < 8),
+    d0 AS (
+      SELECT q.vec_id, s.cid, q.qvec,
+             (SELECT SUM(q.qvec[i] * s.cvec[i])
+              FROM UNNEST(generate_series(1, 64)) AS t(i)) AS dot
+      FROM q CROSS JOIN seeds s),
+    a0 AS (
+      SELECT vec_id, cid, qvec FROM (
+        SELECT vec_id, cid, qvec,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cid) AS rn
+        FROM d0) WHERE rn = 1),
+    comp AS (
+      SELECT cid, i AS d, qvec[i] AS x
+      FROM a0, UNNEST(generate_series(1, 64)) AS t(i)),
+    m AS (
+      SELECT cid, d,
+             CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mv
+      FROM comp GROUP BY cid, d),
+    newc AS (SELECT cid, list(mv ORDER BY d) AS cvec FROM m GROUP BY cid),
+    cents AS (
+      SELECT s.cid, COALESCE(n.cvec, s.cvec) AS cvec
+      FROM seeds s LEFT JOIN newc n ON n.cid = s.cid),
+    d1 AS (
+      SELECT q.vec_id, c.cid,
+             (SELECT SUM(q.qvec[i] * c.cvec[i])
+              FROM UNNEST(generate_series(1, 64)) AS t(i)) AS dot
+      FROM q CROSS JOIN cents c)
+    SELECT vec_id, cid AS centroid_id FROM (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, cid) AS rn
+      FROM d1) WHERE rn = 1
+    """,
+)
+def ann_ivf_trained(spark, sf_dir):
+    """IVF with a trained codebook: one deterministic Lloyd iteration
+    (floor-mean update, empty centroids keep their seed), then the
+    final nearest-centroid assignment.  Train shuffle is
+    centroids x dims rows — corpus-size-independent."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_train_assign(e, n_centroids=8, iters=1)
+
+
+@_register(
     "ann_cosine_topk_ivf",
     f"""
     WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),

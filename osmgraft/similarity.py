@@ -201,6 +201,80 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def _nearest_centroid(
+    vecs: DataFrame, cents: DataFrame, out_vec: str | None = None
+) -> DataFrame:
+    """Assign each (vec_id, qvec) to the centroid (cid, cvec) with the
+    highest quantized inner product, ties -> lowest cid.  ``out_vec``
+    optionally carries qvec through under that name."""
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid").asc())
+    cols = ["vec_id", F.col("cid").alias("centroid_id")]
+    if out_vec:
+        cols.append(F.col("qvec").alias(out_vec))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("dot", dot)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*cols)
+    )
+
+
+def ivf_train_assign(
+    df: DataFrame, n_centroids: int = 8, iters: int = 1
+) -> DataFrame:
+    """IVF with a *trained* codebook: ``iters`` deterministic Lloyd
+    iterations over the quantized vectors, then the final assignment.
+
+    Seed = first ``n_centroids`` vectors by vec_id (the seed-free
+    deterministic choice); update = element-wise
+    ``floor(sum(component) / count)`` per centroid — exact in both
+    engines (sums stay under 2^53, floor-of-exact-double division);
+    a centroid that attracts no vectors keeps its previous position.
+    Each iteration is one broadcast-quantizer pass + one
+    (centroid, dim) groupBy — the 100 TB shape: the train shuffle is
+    ``n_centroids * dim`` rows, independent of corpus size.
+    Output: (vec_id, centroid_id)."""
+    q = quantized(df).select("vec_id", "qvec")
+    cents = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec")
+    )
+    for _ in range(iters):
+        assigned = _nearest_centroid(q, cents, out_vec="qv")
+        comp = assigned.select(
+            "centroid_id", F.posexplode("qv").alias("d", "x")
+        )
+        means = (
+            comp.groupBy("centroid_id", "d")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count("*")
+                ).cast("bigint").alias("m")
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_cvec")
+            )
+        )
+        cents = (
+            cents.join(
+                means.withColumnRenamed("centroid_id", "cid"), "cid", "left"
+            )
+            .select(
+                "cid", F.coalesce("new_cvec", "cvec").alias("cvec")
+            )
+        )
+    return _nearest_centroid(q, cents)
+
+
 def ivf_topk_multiprobe(
     df: DataFrame, k: int = 5, n_centroids: int = 8, nprobe: int = 2
 ) -> DataFrame:
