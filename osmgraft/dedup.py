@@ -221,8 +221,16 @@ def connected_components_star(
     m(u) = min(N(u) ∪ {u}); small-star: every node u links each
     neighbor <= u (and itself) to m(u).  Both operations preserve
     connectivity exactly; iterating them contracts every component to a
-    star centered on its minimum.  Each round is groupBy(min) + explode
-    — shuffles sized by the current edge set.
+    star centered on its minimum.
+
+    Each star step is shuffle-based: m(u) comes from a plain
+    ``groupBy(u).min(v)`` (partial-agg friendly) joined back onto the
+    edge set — the per-node neighborhood is never materialized into a
+    single row (a ``collect_set`` neighborhood for a crawl-scale hub
+    node is exactly the row that blows single-row / 2 GB array limits,
+    defeating the point of large-star).  Shuffles are sized by the
+    current edge set; this is the default cluster assigner for
+    ``dedup_clusters``.
     """
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     nodes = (
@@ -243,26 +251,28 @@ def connected_components_star(
         both = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        nb = both.groupBy("u").agg(
-            F.collect_set("v").alias("nbrs"),
+        # m(u) = min(N(u) ∪ {u}): min-agg + join, never a per-node set
+        mins = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("_nbr_min"))
+            .select("u", F.least("_nbr_min", "u").alias("m"))
         )
-        m = F.array_min(F.array_union("nbrs", F.array("u")))
         if large:
-            targets = F.filter("nbrs", lambda x: x > F.col("u"))
+            # link each strictly-larger neighbor to m(u); m(u) <= u < v
+            targets = both.filter(F.col("v") > F.col("u"))
         else:
-            targets = F.array_union(
-                F.filter("nbrs", lambda x: x <= F.col("u")), F.array("u")
+            # link each neighbor <= u, and u itself, to m(u)
+            targets = both.filter(F.col("v") <= F.col("u")).unionByName(
+                mins.select("u", F.col("u").alias("v"))
             )
-        out = (
-            nb.select(m.alias("m"), F.explode(targets).alias("w"))
-            .filter(F.col("m") != F.col("w"))
-            .select(F.col("m").alias("u"), F.col("w").alias("v"))
+        return (
+            targets.join(mins, "u")
+            .filter(F.col("m") != F.col("v"))
             .select(
-                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+                F.least("m", "v").alias("u"), F.greatest("m", "v").alias("v")
             )
             .distinct()
         )
-        return out
 
     for _ in range(max_rounds):
         edges2 = _star(_star(edges, large=True), large=False).localCheckpoint(
