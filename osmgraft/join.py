@@ -257,15 +257,35 @@ def _salted_sortmerge(
     every salt bucket.  Salting only changes the shuffle key — the join
     result set is exactly the broadcast join's (probe-side salting +
     build-side replication preserves the cross product per cell).
+
+    The hot-cell list comes from a SAMPLED count (SURVEY §4): hotness
+    is a heuristic, and salting is result-preserving by construction,
+    so sampling can only change *which* cells get pre-salted — AQE
+    skew-join remains the backstop for a hot cell the sample misses.
+    At 100 TB a full ``groupBy(cell).count()`` ahead of the real join
+    would itself be a full-scan shuffle; the 2% sample keeps the stats
+    job proportional to skew detection, not to the corpus.
     """
-    stats = pt.groupBy("cell").count()
+    sample_fraction = 0.02
+    stats = (
+        pt.sample(fraction=sample_fraction, seed=42).groupBy("cell").count()
+    )
     if hot_cell_threshold is None:
-        # one cheap pass: cells whose point count exceeds 4x the mean
+        # cells whose sampled count exceeds 4x the sampled mean (the
+        # same heuristic as a full pass, evaluated in sample space)
         row = stats.agg(
             F.expr("percentile_approx(count, 0.999)").alias("p999"),
             F.avg("count").alias("mean"),
         ).collect()[0]
-        hot_cell_threshold = max(int(row["mean"] * 4) + 1, int(row["p999"]))
+        if row["mean"] is None:
+            # empty sample (stats has no rows): no cell is pre-salted;
+            # AQE skew-join handles any residual skew
+            hot_cell_threshold = 1
+        else:
+            hot_cell_threshold = max(int(row["mean"] * 4) + 1, int(row["p999"]))
+    else:
+        # caller threshold is in full-scan units — scale to sample space
+        hot_cell_threshold = max(1, int(hot_cell_threshold * sample_fraction))
     # hot-cell set stays a broadcast-joined DataFrame, never a driver
     # literal — an F.array literal in the plan degenerates when a dense
     # planet has millions of hot cells

@@ -31,6 +31,26 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _footer_lineage(path: str) -> dict[str, int]:
+    """Per-partition row counts for a just-written parquet table, read
+    from the Parquet FOOTERS only (pyarrow metadata) — no second Spark
+    scan of data that was in memory a moment ago.  One part file = one
+    write task = one lineage partition; the key is the task index from
+    the ``part-NNNNN-`` file name."""
+    import pyarrow.parquet as pq
+
+    lineage: dict[str, int] = {}
+    for f in sorted(os.listdir(path)):
+        if not (f.startswith("part-") and f.endswith(".parquet")):
+            continue
+        part = str(int(f.split("-")[1]))
+        lineage[part] = (
+            lineage.get(part, 0)
+            + pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        )
+    return lineage
+
+
 class SnapshotStore:
     """A versioned parquet table with atomic JSON-manifest commits.
 
@@ -98,15 +118,7 @@ class SnapshotStore:
         for name, df in tables.items():
             path = os.path.join(self.root, "data", name, f"v{version}")
             df.write.mode("overwrite").parquet(path)
-            back = self.spark.read.parquet(path)
-            lineage = {
-                str(r["_part"]): r["n"]
-                for r in back.groupBy(
-                    F.spark_partition_id().alias("_part")
-                )
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
+            lineage = _footer_lineage(path)
             entry_tables[name] = {
                 "path": path,
                 "row_count": sum(lineage.values()),
