@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "120"))
+# Pipeline variant tag: extraction engine x output projection.  r1/r2
+# historical numbers: r1 = arrow-full, r2 = arrow-pruned; r3+ default =
+# jvm-pruned (whole-stage-codegen extraction, url/mention never built).
+# Numbers are comparable only within the same variant tag.
+PIPELINE_VARIANT = "jvm-pruned"
 
 
 def flagship_pages_per_sec(spark):
@@ -46,7 +51,8 @@ def flagship_pages_per_sec(spark):
         # projection pushed through the Arrow boundary: the tile cut
         # reads neither url nor mention, so they are never shipped
         ents = extract_entities(
-            pages, columns=("doc_id", "ent_idx", "lat_e7", "lon_e7")
+            pages, columns=("doc_id", "ent_idx", "lat_e7", "lon_e7"),
+            engine="jvm",
         ).persist(StorageLevel.MEMORY_AND_DISK)
         joined = spatial_join(spark, ents, synth.boundaries())
         tx, ty = cells.mercator_tile_cols(F.col("lon_e7"), F.col("lat_e7"), 12)
@@ -97,7 +103,8 @@ def main():
         per_query[name] = round(best, 3)
 
     result = {
-        "metric": "flagship extract+spatial-join+tile pipeline, wall sec "
+        "metric": "flagship extract+spatial-join+tile pipeline "
+        f"[{PIPELINE_VARIANT}], wall sec "
         f"({n_pages} pages -> {n_out} match rows; "
         f"{round(n_pages / flagship_sec)} pages/sec)",
         "value": round(flagship_sec, 3),
@@ -105,6 +112,7 @@ def main():
         "queries": per_query,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "pages_per_sec": round(n_pages / flagship_sec, 1),
+        "pipeline": PIPELINE_VARIANT,
         "n_pages": n_pages,
         "cpus": CPUS,
     }

@@ -79,15 +79,17 @@ bw_sec = time.time() - t
 # compilation, whole-stage codegen class-loading and Arrow setup —
 # one-time costs a long-lived executor amortizes to zero, but which
 # would bias the shorter 4N-core run if timed.
+# engine/projection variant is pinned and reported: campaigns are only
+# comparable within a variant (r2 campaigns K-Q were arrow-full; the
+# r3+ deployment default is the jvm engine)
+engine = os.environ.get("SPARK_GRAFT_SCALING_ENGINE", "jvm")
+pruned = os.environ.get("SPARK_GRAFT_SCALING_PRUNED", "0") == "1"
+cols = ("doc_id", "ent_idx", "lat_e7", "lon_e7") if pruned else None
 dt, n_out = None, 0
 for _ in range(2):
     t0 = time.time()
-    if os.environ.get("SPARK_GRAFT_SCALING_PRUNED", "0") == "1":
-        ents = extract_entities(
-            pages, columns=("doc_id", "ent_idx", "lat_e7", "lon_e7")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        ents = extract_entities(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    ents = extract_entities(pages, columns=cols, engine=engine).persist(
+        StorageLevel.MEMORY_AND_DISK)
     joined = spatial_join(spark, ents, synth.boundaries())
     tx, ty = cells.mercator_tile_cols(F.col("lon_e7"), F.col("lat_e7"), 12)
     out = joined.select("doc_id", "ent_idx", "boundary_id",
@@ -97,6 +99,7 @@ for _ in range(2):
     ents.unpersist()
     dt = d if dt is None or d < dt else dt
 print(json.dumps({"cores": cores, "n_pages": n_pages, "n_out": n_out,
+                  "variant": engine + ("-pruned" if pruned else "-full"),
                   "sec": round(dt, 3),
                   "pages_per_sec": round(n_pages / dt, 1),
                   "cpu_probe_sec": round(cpu_sec, 3),
@@ -156,6 +159,7 @@ def main():
         "scaling_efficiency": effs,
         "host_ceilings": probe_effs,
         "target": 0.8,
+        "variant": next(iter(runs.values()))["variant"] if runs else None,
         "sf_dir": SF_DIR,
         "replicate": REPLICATE,
     }

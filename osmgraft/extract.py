@@ -2,11 +2,16 @@
 
 Analog of the reference's streaming XML element extraction
 (``osmc/osm.c:123-174``, ``osmc/osm.c:351-398``): one input page yields
-0..N typed geo entities.  Implemented as ``mapInPandas`` (UDTF-shaped,
-Arrow-batched; input_hint forbids per-row Python) with **byte-identical
-text slices** — the extracted ``mention`` bytes are exact substrings of
-the page text, never re-encoded (the lossless lesson of the reference's
-strict UTF pipeline, ``osmc/utf.c:95-165``).
+0..N typed geo entities, with **byte-identical text slices** — the
+extracted ``mention`` bytes are exact substrings of the page text,
+never re-encoded (the lossless lesson of the reference's strict UTF
+pipeline, ``osmc/utf.c:95-165``).
+
+Two equality-tested engines behind :func:`extract_entities`:
+``jvm`` (default — pure whole-stage codegen for the well-formed
+mention grammar) and ``arrow`` (``mapInPandas`` streaming parser,
+UDTF-shaped, Arrow-batched; input_hint forbids per-row Python — kept
+for irregular real-world HTML).
 
 Mention grammar: ``@place{name|lat_e7|lon_e7}`` with integer e7
 coordinates (reference fixed-point contract, ``osmc/MapperTypes.h:28``).
@@ -19,6 +24,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MENTION_RE = re.compile(
@@ -86,28 +92,58 @@ def _make_extractor(out_cols: tuple[str, ...]):
 _extract_batches = _make_extractor(tuple(f.name for f in ENTITY_SCHEMA.fields))
 
 
+def _resolve_columns(columns: tuple[str, ...] | None) -> list[str]:
+    """Validate a requested projection and return it in schema order."""
+    if columns is None:
+        return [f.name for f in ENTITY_SCHEMA.fields]
+    known = {f.name for f in ENTITY_SCHEMA.fields}
+    bad = [c for c in columns if c not in known]
+    if bad:
+        raise ValueError(f"unknown entity columns: {bad}")
+    return [f.name for f in ENTITY_SCHEMA.fields if f.name in columns]
+
+
 def extract_entities(
-    pages: DataFrame, columns: tuple[str, ...] | None = None
+    pages: DataFrame,
+    columns: tuple[str, ...] | None = None,
+    engine: str = "jvm",
 ) -> DataFrame:
     """pages(url, doc_id, text, ...) -> geo entity rows (0..N per page).
 
-    ``columns`` is a projection pushed *through* the UDF boundary: only
-    the requested output columns are built Python-side and shipped back
-    over Arrow, and input columns that feed no requested output (e.g.
-    ``url`` when neither ``url`` nor provenance is asked for) are not
-    shipped in.  On a memory-bandwidth-bound host / 100 TB scan this is
-    the dominant Arrow-volume lever — ``url`` + ``mention`` are ~2/3 of
-    the output bytes and most pipelines (e.g. the tile cut) never read
-    them.  ``None`` keeps the full schema (byte-identity invariant path).
+    ``engine="jvm"`` (default) runs the extraction entirely inside
+    whole-stage codegen (:func:`extract_entities_jvm`) — the right path
+    for the well-formed mention grammar, where the regex semantics are
+    expressible as ``regexp_extract_all``.  ``engine="arrow"`` is the
+    mapInPandas streaming parser (:func:`extract_entities_arrow`) —
+    keep it for irregular real-world HTML where extraction needs
+    imperative parsing.  The two paths are equality-tested, including
+    the byte-identity invariant on ``mention``.
+
+    ``columns`` is a projection pushed through either boundary: only
+    the requested output columns are computed and shipped (Catalyst
+    cannot prune mapInPandas output, and the zipped regexp arrays on
+    the JVM path are likewise built per requested field).  ``url`` +
+    ``mention`` are ~2/3 of the output bytes and most pipelines (e.g.
+    the tile cut) never read them.
     """
-    if columns is None:
-        out_fields = [f.name for f in ENTITY_SCHEMA.fields]
-    else:
-        known = {f.name for f in ENTITY_SCHEMA.fields}
-        bad = [c for c in columns if c not in known]
-        if bad:
-            raise ValueError(f"unknown entity columns: {bad}")
-        out_fields = [f.name for f in ENTITY_SCHEMA.fields if f.name in columns]
+    if engine == "jvm":
+        return extract_entities_jvm(pages, columns)
+    if engine == "arrow":
+        return extract_entities_arrow(pages, columns)
+    raise ValueError(f"unknown extraction engine {engine!r}")
+
+
+def extract_entities_arrow(
+    pages: DataFrame, columns: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Arrow/mapInPandas extraction path (UDTF-shaped streaming parser).
+
+    Input columns that feed no requested output (e.g. ``url`` when no
+    provenance is asked for) are not shipped into Python, and
+    unrequested output columns are never built — manual projection
+    pushdown through the Arrow boundary.
+    """
+    out_fields = _resolve_columns(columns)
     need_in = {"text"}
     if "url" in out_fields:
         need_in.add("url")
@@ -120,38 +156,56 @@ def extract_entities(
 
 _MENTION_SQL_RE = r"@place\{([^{}|]*)\|(-?\d+)\|(-?\d+)\}"
 
+# regex group each derived field comes from (0 = the whole match)
+_JVM_GROUP = {"name": 1, "lat_e7": 2, "lon_e7": 3, "mention": 0}
 
-def extract_entities_jvm(pages: DataFrame) -> DataFrame:
+
+def extract_entities_jvm(
+    pages: DataFrame, columns: tuple[str, ...] | None = None
+) -> DataFrame:
     """JVM fast path for the well-formed mention grammar: the whole
     extraction stays inside whole-stage codegen (``regexp_extract_all``
     + ``arrays_zip`` + ``posexplode``) — no Python, no Arrow exchange.
 
     Byte-identity holds because the mention is a regex match over the
     text: casting the matched substring to binary reproduces its exact
-    UTF-8 bytes.  Use the mapInPandas path (``extract_entities``) for
-    irregular real-world HTML where a streaming parser is needed; the
-    two paths are equality-tested.
+    UTF-8 bytes.  ``columns`` prunes both the zipped regexp arrays
+    (one ``regexp_extract_all`` per requested derived field) and the
+    passthrough input columns.
     """
-    from pyspark.sql import functions as F
-
+    out_fields = _resolve_columns(columns)
+    derived = [c for c in _JVM_GROUP if c in out_fields]
+    # the explode needs at least one array even for a pure-id projection
+    zip_fields = derived or ["mention"]
     zipped = F.arrays_zip(
-        F.regexp_extract_all("text", F.lit(_MENTION_SQL_RE), F.lit(1)).alias("name"),
-        F.regexp_extract_all("text", F.lit(_MENTION_SQL_RE), F.lit(2)).alias("lat"),
-        F.regexp_extract_all("text", F.lit(_MENTION_SQL_RE), F.lit(3)).alias("lon"),
-        F.regexp_extract_all("text", F.lit(_MENTION_SQL_RE), F.lit(0)).alias("m"),
+        *[
+            F.regexp_extract_all(
+                "text", F.lit(_MENTION_SQL_RE), F.lit(_JVM_GROUP[c])
+            ).alias(c)
+            for c in zip_fields
+        ]
     )
-    cols = [c for c in ("url", "doc_id") if c in pages.columns]
-    out = pages.select(
-        *cols, F.posexplode(zipped).alias("ent_idx", "e")
-    )
-    if "doc_id" not in out.columns:
-        out = out.withColumn("doc_id", F.lit(-1).cast("long"))
-    return out.select(
-        *(["url"] if "url" in out.columns else []),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("ent_idx").cast("int").alias("ent_idx"),
-        F.col("e.name").alias("name"),
-        F.col("e.lat").cast("long").alias("lat_e7"),
-        F.col("e.lon").cast("long").alias("lon_e7"),
-        F.col("e.m").cast("binary").alias("mention"),
-    )
+    passthrough = [
+        c for c in ("url", "doc_id") if c in pages.columns and c in out_fields
+    ]
+    out = pages.select(*passthrough, F.posexplode(zipped).alias("ent_idx", "e"))
+    exprs = []
+    for c in out_fields:
+        if c == "url":
+            exprs.append(
+                F.col("url") if "url" in passthrough else F.lit(None).cast("string").alias("url")
+            )
+        elif c == "doc_id":
+            e = F.col("doc_id") if "doc_id" in passthrough else F.lit(-1)
+            exprs.append(e.cast("long").alias("doc_id"))
+        elif c == "ent_idx":
+            exprs.append(F.col("ent_idx").cast("int").alias("ent_idx"))
+        elif c == "name":
+            exprs.append(F.col("e.name").alias("name"))
+        elif c == "lat_e7":
+            exprs.append(F.col("e.lat_e7").cast("long").alias("lat_e7"))
+        elif c == "lon_e7":
+            exprs.append(F.col("e.lon_e7").cast("long").alias("lon_e7"))
+        elif c == "mention":
+            exprs.append(F.col("e.mention").cast("binary").alias("mention"))
+    return out.select(*exprs)

@@ -55,18 +55,31 @@ def test_no_mention_docs_yield_no_entities(spark, sf_dir):
 
 
 def test_jvm_path_equals_pandas_path(spark, sf_dir):
-    from osmgraft.extract import extract_entities_jvm
-
     pages = synth.pages_df(spark, sf_dir)
     a = {
         (r.url, r.doc_id, r.ent_idx, r.name, r.lat_e7, r.lon_e7, bytes(r.mention))
-        for r in extract_entities(pages).collect()
+        for r in extract_entities(pages, engine="arrow").collect()
     }
     b = {
         (r.url, r.doc_id, r.ent_idx, r.name, r.lat_e7, r.lon_e7, bytes(r.mention))
-        for r in extract_entities_jvm(pages).collect()
+        for r in extract_entities(pages, engine="jvm").collect()
     }
     assert a == b and a
+
+
+def test_jvm_pruned_projection_equals_arrow(spark, sf_dir):
+    pages = synth.pages_df(spark, sf_dir)
+    cols = ("doc_id", "ent_idx", "lat_e7", "lon_e7")
+    a_df = extract_entities(pages, columns=cols, engine="arrow")
+    b_df = extract_entities(pages, columns=cols, engine="jvm")
+    assert a_df.columns == b_df.columns == list(cols)
+    assert {tuple(r) for r in a_df.collect()} == {
+        tuple(r) for r in b_df.collect()
+    }
+    # pure-id projection (no derived field) still explodes per mention
+    ids = extract_entities(pages, columns=("doc_id", "ent_idx"), engine="jvm")
+    assert ids.columns == ["doc_id", "ent_idx"]
+    assert ids.count() == a_df.count()
 
 
 def test_projection_pushdown_equals_full_path(spark, sf_dir):
