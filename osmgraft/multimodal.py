@@ -12,10 +12,13 @@ Spark-side plumbing — schema, partition-friendly batch shape,
   (:func:`synth_image_payload`: real zlib IDAT for PNG, real marker
   stream for JPEG), so the parser is exercised against genuinely
   well-formed bytes and cross-checked by a closed-form oracle.
-* **pixel decode** (stubbed): full raster decode needs PIL/ffmpeg,
-  which this container lacks; ``decode_payload`` raises unless
-  ``fake=True`` (deterministic digest feature of the same batch
-  shape a real decoder would produce).
+* **pixel decode**: PNG rasters decode for REAL — pure
+  stdlib+numpy inflate + filter reversal (:func:`decode_png_pixels`),
+  cross-checked against the closed-form :func:`synth_pixel` raster by
+  the ``media_pixels`` gate query.  JPEG/GIF pixel decode and
+  audio/video codecs remain declared stubs (need PIL/ffmpeg, absent
+  here); ``decode_payload(fake=True)`` keeps the deterministic digest
+  feature for those so the batch plumbing is exercised end to end.
 """
 
 from __future__ import annotations
@@ -90,20 +93,63 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
+def synth_pixel(doc_id: int, x: int, y: int, c: int) -> int:
+    """Closed-form raster value for the synthetic PNG — the same
+    arithmetic the DuckDB oracle evaluates, so a pixel-sum comparison
+    checks the whole encode -> filter -> deflate -> inflate -> unfilter
+    path end-to-end."""
+    return (3 * x + c + 7 * y + doc_id) % 251
+
+
+def _png_filter_encode(raw: np.ndarray, ftype: int, prev: np.ndarray, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to one raw scanline (encode side)."""
+    n = raw.shape[0]
+    a = np.zeros(n, dtype=np.int32)
+    a[bpp:] = raw[:-bpp]
+    b = prev.astype(np.int32)
+    if ftype == 0:
+        out = raw.astype(np.int32)
+    elif ftype == 1:
+        out = raw - a
+    elif ftype == 2:
+        out = raw - b
+    elif ftype == 3:
+        out = raw - (a + b) // 2
+    else:  # 4 = Paeth
+        c = np.zeros(n, dtype=np.int32)
+        c[bpp:] = prev[:-bpp]
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        out = raw - pred
+    return (out % 256).astype(np.uint8).tobytes()
+
+
 def synth_image_payload(doc_id: int) -> bytes:
     """A *valid* minimal image container with :func:`synth_dims`
     dimensions.  PNG: real IHDR/IDAT/IEND with correct CRCs and a
-    zlib-compressed all-zero raster.  JPEG: SOI + APP0(JFIF) + SOF0
-    marker stream (header-complete; no entropy-coded scan — the pixel
-    codec is the declared stub).  GIF: GIF89a logical screen."""
+    zlib-compressed 8-bit truecolor raster of :func:`synth_pixel`
+    values, each scanline filtered with filter type ``y % 5`` — all
+    five standard filters appear, so decoding requires genuine filter
+    reversal.  JPEG: SOI + APP0(JFIF) + SOF0 marker stream
+    (header-complete; no entropy-coded scan — the pixel codec is the
+    declared stub).  GIF: GIF89a logical screen."""
     fmt, w, h = synth_dims(doc_id)
     if fmt == "png":
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
-        raw = (b"\x00" + b"\x00\x00\x00" * w) * h  # filter byte + RGB per row
+        xs = np.arange(w, dtype=np.int32)
+        rows, prev = [], np.zeros(w * 3, dtype=np.int32)
+        for y in range(h):
+            raw = np.empty(w * 3, dtype=np.int32)
+            for c in range(3):
+                raw[c::3] = (3 * xs + c + 7 * y + doc_id) % 251
+            ftype = y % 5
+            rows.append(bytes([ftype]) + _png_filter_encode(raw, ftype, prev, 3))
+            prev = raw
         return (
             _PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
             + _png_chunk(b"IEND", b"")
         )
     if fmt == "jpeg":
@@ -134,6 +180,12 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 return None
+            # runs of 0xFF are legal fill/padding before any marker —
+            # advance to the last 0xFF of the run
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(b):
+                return None
             marker = b[i + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2  # standalone markers carry no length
@@ -141,6 +193,8 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
             if marker == 0xD9:  # EOI before any SOF
                 return None
             seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if seglen < 2:  # length includes its own 2 bytes — malformed
+                return None
             if marker in _JPEG_SOF:
                 if i + 4 + 5 > len(b):
                     return None
@@ -152,6 +206,135 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         w, h = struct.unpack("<HH", b[6:10])
         return "gif", w, h
     return None
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray | None:
+    """Pure stdlib+numpy PNG raster decode — no codec library: chunk
+    walk, concatenated-IDAT zlib inflate, per-scanline reversal of all
+    five standard filter types.  Supports non-interlaced 8-bit
+    greyscale (color type 0), truecolor (2) and truecolor+alpha (6);
+    returns an (h, w, channels) uint8 array, or None for any other
+    layout or corrupt/truncated data — never raises.
+
+    The reference has no raster analog (tiles are vector features);
+    this closes the LLM-pipeline decode tier for PNG.  JPEG entropy
+    decode stays a declared stub (a from-scratch Huffman/DCT is out of
+    scope without a codec library to verify against).
+    """
+    b = payload
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    ch = _PNG_CHANNELS.get(ctype)
+    if ch is None or w == 0 or h == 0:
+        return None
+    try:
+        data = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(data) != h * (1 + stride):
+        return None
+    raw = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = int(raw[pos])
+        row = raw[pos + 1 : pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            cur = row
+        elif ftype == 1:  # Sub: lane-wise cumulative sum
+            cur = row.copy()
+            for lane in range(ch):
+                cur[lane::ch] = np.cumsum(cur[lane::ch]) % 256
+        elif ftype == 2:  # Up
+            cur = (row + prev) % 256
+        elif ftype == 3:  # Average (left dependency -> sequential)
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + (a + prev[i]) // 2) % 256
+        elif ftype == 4:  # Paeth (left dependency -> sequential)
+            cur = row.copy()
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                c = int(prev[i - ch]) if i >= ch else 0
+                cur[i] = (cur[i] + _paeth(a, int(prev[i]), c)) % 256
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+PIXEL_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_vals", T.LongType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_max", T.IntegerType()),
+])
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched real pixel statistics over PNG payloads:
+    (media_id, width, height, n_vals, px_sum, px_max).  Integer-exact —
+    gate-comparable against the closed-form :func:`synth_pixel` raster
+    arithmetic.  Non-PNG / undecodable payloads yield -1 dims (kept,
+    not dropped)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png_pixels(bytes(p))
+                if px is None:
+                    rows.append((int(mid), -1, -1, 0, 0, -1))
+                else:
+                    rows.append((
+                        int(mid), px.shape[1], px.shape[0], px.size,
+                        int(px.sum(dtype=np.int64)), int(px.max()),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
+            ).astype({
+                "media_id": "int64", "width": "int32", "height": "int32",
+                "n_vals": "int64", "px_sum": "int64", "px_max": "int32",
+            })
+
+    return media.select("media_id", "payload").mapInPandas(run, PIXEL_STATS_SCHEMA)
 
 
 IMAGE_DIM_SCHEMA = T.StructType([
@@ -215,14 +398,22 @@ def media_images_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
-    """STUB: real decoders (PIL/ffmpeg/torchaudio) are not available in
-    this environment.  ``fake=True`` yields a deterministic 8-dim
-    feature from the payload digest — same batch shape as a real
-    decoder, so the distributed plumbing is fully exercised."""
+    """8-dim feature from a media payload.
+
+    * PNG payloads decode for real (``decode_png_pixels``): the feature
+      is the normalized 8-bin intensity histogram of the raster.
+    * JPEG/GIF pixel decode and audio/video codecs are declared STUBS —
+      no PIL/ffmpeg/torchaudio in this environment; ``fake=True``
+      yields a deterministic digest feature of the same batch shape, so
+      the distributed plumbing is fully exercised either way."""
     if not fake:
+        px = decode_png_pixels(payload)
+        if px is not None:
+            hist, _ = np.histogram(px.reshape(-1), bins=8, range=(0, 256))
+            return (hist / px.size).astype(np.float32)
         raise NotImplementedError(
-            f"no {kind} codec in this environment; pass fake=True for the "
-            "deterministic digest feature"
+            f"no {kind} codec in this environment (only PNG decodes "
+            "natively); pass fake=True for the deterministic digest feature"
         )
     h = hashlib.sha256(payload).digest()
     return np.frombuffer(h[:32], dtype=np.uint8).reshape(8, 4).sum(axis=1).astype(

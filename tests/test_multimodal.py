@@ -8,6 +8,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from osmgraft import multimodal
 from osmgraft.multimodal import (
     parse_image_header,
     synth_dims,
@@ -81,3 +82,55 @@ def test_media_dimensions_matches_closed_form(spark, sf_dir):
         if int(r.doc_id) % 3 == 0
     }
     assert got == want and got
+
+
+def test_png_pixel_decode_roundtrip_all_filters():
+    """Every scanline filter type (y%5 covers 0-4) must reverse to the
+    closed-form synth_pixel raster."""
+    import numpy as np
+
+    for d in [0, 9, 45, 117]:  # heights 1, 16, 28, 4 -> filters 0..4 seen
+        fmt, w, h = multimodal.synth_dims(d)
+        assert fmt == "png"
+        px = multimodal.decode_png_pixels(multimodal.synth_image_payload(d))
+        assert px is not None and px.shape == (h, w, 3)
+        xs = np.arange(w).reshape(1, w, 1)
+        ys = np.arange(h).reshape(h, 1, 1)
+        cs = np.arange(3).reshape(1, 1, 3)
+        want = (3 * xs + cs + 7 * ys + d) % 251
+        assert (px == want).all()
+
+
+def test_png_pixel_decode_rejects_corrupt():
+    assert multimodal.decode_png_pixels(b"not a png") is None
+    assert multimodal.decode_png_pixels(multimodal.synth_image_payload(3)) is None
+    p = bytearray(multimodal.synth_image_payload(9))
+    p[40] ^= 0xFF  # corrupt the IDAT stream
+    assert multimodal.decode_png_pixels(bytes(p)) is None
+    trunc = multimodal.synth_image_payload(9)[:30]
+    assert multimodal.decode_png_pixels(trunc) is None
+
+
+def test_jpeg_marker_walk_padding_and_bad_seglen():
+    import struct
+
+    base = multimodal.synth_image_payload(3)  # a jpeg
+    fmt, w, h = multimodal.synth_dims(3)
+    # 0xFF fill bytes before a marker are legal padding
+    padded = base[:2] + b"\xff\xff\xff" + base[2:]
+    assert multimodal.parse_image_header(padded) == ("jpeg", w, h)
+    # a zero-length segment is malformed (length includes itself)
+    bad = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 0) + base[2:]
+    assert multimodal.parse_image_header(bad) is None
+
+
+def test_decode_payload_real_png_feature():
+    import numpy as np
+
+    f = multimodal.decode_payload(multimodal.synth_image_payload(9), "image")
+    assert f.shape == (8,) and abs(float(f.sum()) - 1.0) < 1e-5
+    # non-PNG without fake still raises (declared stub)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_payload(multimodal.synth_image_payload(3), "image")
