@@ -342,6 +342,7 @@ def knn(
     k: int,
     level: int = 6,
     max_rounds: int = 8,
+    r0: int | None = None,
 ) -> DataFrame:
     """For each query row (qid, lon_e7, lat_e7) the k nearest point rows
     (pid, lon_e7, lat_e7) by exact squared euclidean distance in e7 units
@@ -384,14 +385,21 @@ def knn(
     # (2r+1)^2 disk = lam * (2r+1)^2 with lam = points per occupied
     # cell; aim for ~4k candidates so round one usually certifies.
     # Correctness is radius-based certification — r0 only changes how
-    # much of the disk the first annulus covers, never the guarantee.
-    stats = pt.agg(
-        F.count("*").alias("n"),
-        F.countDistinct("cx", "cy").alias("cells"),
-    ).collect()[0]
-    lam = max(float(stats["n"]) / max(int(stats["cells"]), 1), 1e-9)
-    r0 = int(((4.0 * k / lam) ** 0.5 - 1.0) / 2.0) + 1
-    r_prev, r = -1, min(max(r0, 1), 64)
+    # much of the disk the first annulus covers, never the guarantee —
+    # so repeated callers can pass a precomputed r0 and skip the stats
+    # job entirely, and the stats job itself uses an HLL sketch for the
+    # occupied-cell count (single partial-agg pass over the cached pt,
+    # no distinct expand/shuffle; the estimate feeds a heuristic).
+    if r0 is None:
+        stats = pt.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct(
+                F.concat_ws(",", "cx", "cy"), rsd=0.05
+            ).alias("cells"),
+        ).collect()[0]
+        lam = max(float(stats["n"]) / max(int(stats["cells"]), 1), 1e-9)
+        r0 = int(((4.0 * k / lam) ** 0.5 - 1.0) / 2.0) + 1
+    r_prev, r = -1, min(max(int(r0), 1), 64)
     w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), F.col("pid").asc())
     # carry = running top-k per still-pending query; each round joins
     # ONLY the new annulus cells (r_prev, r] — the inner disk was already
@@ -424,12 +432,16 @@ def knn(
             .localCheckpoint(eager=True)
         )
         # certification: k-th distance within the ring guarantee radius
-        # (any non-candidate point is > r * cell_w away on some axis)
+        # (any non-candidate point is > r * cell_w away on some axis).
+        # The guarantee literal is shipped as a decimal STRING: at
+        # r >= 64 the squared radius exceeds int64 and a plain lit()
+        # cannot cross py4j as a long.
         g2 = (int(r) * int(cell_w)) ** 2
+        g2_lit = F.lit(str(g2)).cast("decimal(38,0)")
         done_ids = (
             ranked.groupBy("qid")
             .agg(F.count("*").alias("n"), F.max("dist2").alias("kth"))
-            .filter((F.col("n") >= k) & (F.col("kth") <= F.lit(g2).cast("decimal(38,0)")))
+            .filter((F.col("n") >= k) & (F.col("kth") <= g2_lit))
             .select("qid")
         )
         finished = ranked.join(F.broadcast(done_ids), "qid", "left_semi")

@@ -93,6 +93,37 @@ def catchup_plan(lag_minutes: int) -> list[tuple[str, int]]:
     return plan
 
 
+_PERIOD_FMT = {"minute": "%Y%m%d%H%M", "hourly": "%Y%m%d%H", "daily": "%Y%m%d"}
+
+
+def next_change_file_name(epoch_s: int, period: str) -> tuple[str, int]:
+    """P17 diff-URL naming arithmetic (reference ``nextChangeFileName``,
+    osmc/osmc.c:127-166), as a pure unit-tested function — the network
+    fetch itself stays out of scope in this sandbox.
+
+    Given the checkpoint timestamp (UTC epoch seconds) and a period
+    (``minute`` / ``hourly`` / ``daily``), returns
+    ``(file_name, next_epoch_s)`` where the name is
+    ``{period}/{start}-{end}.osc.gz`` with both stamps strftime'd at
+    the period's granularity (start truncated by the coarse format;
+    end = start + 1 unit, zeroed below the period before the timestamp
+    advances — exactly the reference's tm-struct arithmetic)."""
+    from datetime import datetime, timedelta, timezone
+
+    if period not in _PERIOD_FMT:
+        raise ValueError(f"unknown period {period!r}")
+    start = datetime.fromtimestamp(int(epoch_s), tz=timezone.utc)
+    if period == "minute":
+        end = (start + timedelta(minutes=1)).replace(second=0)
+    elif period == "hourly":
+        end = (start + timedelta(hours=1)).replace(minute=0, second=0)
+    else:
+        end = (start + timedelta(days=1)).replace(hour=0, minute=0, second=0)
+    fmt = _PERIOD_FMT[period]
+    name = f"{period}/{start.strftime(fmt)}-{end.strftime(fmt)}.osc.gz"
+    return name, int(end.timestamp())
+
+
 def files_per_trigger_for_plan(plan: list[tuple[str, int]]) -> int:
     """Map a catch-up plan onto micro-batch sizing: when days of lag are
     queued, coalesce a day's worth of diff files per trigger; hours of

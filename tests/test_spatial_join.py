@@ -88,3 +88,25 @@ def test_knn_matches_bruteforce(spark, entities):
         order = sorted(zip(d2, P[:, 0].tolist()))[:k]
         want = [(i + 1, pid, int(d)) for i, (d, pid) in enumerate(order)]
         assert sorted(by_q[q.qid]) == want, f"qid={q.qid}"
+
+
+def test_knn_precomputed_r0_identical(spark, entities):
+    """r0 is a performance hint only: any starting radius yields the
+    same certified result set (radius-based certification)."""
+    pts = entities.select(
+        (F.col("doc_id") * 10 + F.col("ent_idx")).alias("pid"), "lon_e7", "lat_e7"
+    )
+    qs = pts.filter(F.col("pid") < 200).select(
+        F.col("pid").alias("qid"), "lon_e7", "lat_e7"
+    )
+    base = {
+        (r.qid, r.rank, r.pid, int(r.dist2))
+        for r in knn(spark, qs, pts, k=3).collect()
+    }
+    for forced in (1, 7, 64):
+        got = {
+            (r.qid, r.rank, r.pid, int(r.dist2))
+            for r in knn(spark, qs, pts, k=3, r0=forced).collect()
+        }
+        assert got == base, f"r0={forced}"
+    assert base

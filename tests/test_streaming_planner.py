@@ -53,3 +53,46 @@ def test_files_per_trigger_ladder():
     assert files_per_trigger_for_plan(catchup_plan(3 * 60)) == 4
     assert files_per_trigger_for_plan(catchup_plan(30)) == 1
     assert files_per_trigger_for_plan([]) == 1
+
+
+def test_next_change_file_name_minute_rollover():
+    from osmgraft.streaming import next_change_file_name
+
+    # 2023-12-31T23:59:30Z -> year rollover inside the +1-minute bucket
+    ts = 1704067170
+    name, nxt = next_change_file_name(ts, "minute")
+    assert name == "minute/202312312359-202401010000.osc.gz"
+    assert nxt == 1704067200  # 2024-01-01T00:00:00Z (seconds zeroed)
+
+
+def test_next_change_file_name_hourly_leap_day():
+    from osmgraft.streaming import next_change_file_name
+
+    # 2024-02-28T23:30:00Z -> +1h lands on the leap day
+    ts = 1709163000
+    name, nxt = next_change_file_name(ts, "hourly")
+    assert name == "hourly/2024022823-2024022900.osc.gz"
+    assert nxt == 1709164800  # 2024-02-29T00:00:00Z
+
+
+def test_next_change_file_name_daily_truncates():
+    from osmgraft.streaming import next_change_file_name
+
+    ts = 1709123696  # 2024-02-28T12:34:56Z
+    name, nxt = next_change_file_name(ts, "daily")
+    assert name == "daily/20240228-20240229.osc.gz"
+    assert nxt == 1709164800  # midnight of the next day
+
+    # chaining: applying the returned timestamp walks aligned buckets
+    name2, nxt2 = next_change_file_name(nxt, "daily")
+    assert name2 == "daily/20240229-20240301.osc.gz"
+    assert nxt2 - nxt == 86400
+
+
+def test_next_change_file_name_rejects_unknown_period():
+    import pytest as _pytest
+
+    from osmgraft.streaming import next_change_file_name
+
+    with _pytest.raises(ValueError):
+        next_change_file_name(0, "weekly")
