@@ -337,6 +337,155 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, PIXEL_STATS_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real audio containers: deterministic WAV synthesis + pure-stdlib PCM decode
+# ---------------------------------------------------------------------------
+
+
+def synth_audio_dims(doc_id: int) -> tuple[int, int, int]:
+    """Closed-form (n_channels, sample_rate, n_samples) for a doc's
+    synthetic WAV — same arithmetic the DuckDB oracle runs."""
+    return 1 + (doc_id // 3) % 2, 8000 + 100 * (doc_id % 40), 1 + (doc_id * 11) % 480
+
+
+def synth_sample(doc_id: int, i: int, ch: int) -> int:
+    """Closed-form PCM16 sample value (frame i, channel ch)."""
+    return ((doc_id + 31 * i + 17 * ch) % 61681) - 30840
+
+
+def synth_audio_payload(doc_id: int) -> bytes:
+    """A *valid* PCM16 RIFF/WAVE container: fmt chunk + interleaved
+    little-endian samples of :func:`synth_sample` values."""
+    nch, rate, n = synth_audio_dims(doc_id)
+    frames = np.arange(n, dtype=np.int64).reshape(n, 1)
+    chans = np.arange(nch, dtype=np.int64).reshape(1, nch)
+    samples = ((doc_id + 31 * frames + 17 * chans) % 61681) - 30840
+    data = samples.astype("<i2").tobytes()
+    block_align = nch * 2
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * block_align, block_align, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_audio_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(n_channels, sample_rate, bits, n_samples) from raw RIFF/WAVE
+    bytes — pure stdlib chunk walk, PCM only; ``None`` for anything
+    unrecognized/truncated — never raises."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if tag == b"fmt " and length >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data_len = length
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        return None
+    audio_fmt, nch, rate, _, block_align, bits = fmt
+    if audio_fmt != 1 or nch == 0 or bits % 8 != 0 or block_align != nch * bits // 8:
+        return None
+    return nch, rate, bits, data_len // block_align
+
+
+def decode_wav_samples(payload: bytes) -> np.ndarray | None:
+    """Real PCM decode for 16-bit WAV: returns an (n_samples,
+    n_channels) int16 array, or None for non-PCM16/corrupt payloads."""
+    hdr = parse_audio_header(payload)
+    if hdr is None:
+        return None
+    nch, _, bits, n = hdr
+    if bits != 16:
+        return None
+    pos = 12
+    b = payload
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if tag == b"data":
+            raw = b[pos + 8 : pos + 8 + length]
+            return np.frombuffer(raw, dtype="<i2")[: n * nch].reshape(n, nch)
+        pos += 8 + length + (length & 1)
+    return None
+
+
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("s_sum", T.LongType()),
+    T.StructField("s_max", T.IntegerType()),
+])
+
+
+def wav_sample_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched real PCM statistics over WAV payloads — integer
+    exact, gate-comparable against the closed-form sample arithmetic.
+    Undecodable payloads keep the -1 sentinel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                hdr = parse_audio_header(p)
+                s = decode_wav_samples(p)
+                if hdr is None or s is None:
+                    rows.append((int(mid), -1, -1, 0, 0, -1))
+                else:
+                    rows.append((
+                        int(mid), hdr[0], hdr[1], s.shape[0],
+                        int(s.sum(dtype=np.int64)), int(s.max()),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            ).astype({
+                "media_id": "int64", "n_channels": "int32",
+                "sample_rate": "int32", "n_samples": "int64",
+                "s_sum": "int64", "s_max": "int32",
+            })
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+def media_audio_from_documents(docs: DataFrame) -> DataFrame:
+    """The audio slice of the media table with *real* WAV bytes
+    (doc_id % 3 == 1, the 'audio' kind population)."""
+    auds = docs.filter(F.col("doc_id") % 3 == 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "audio",
+                    "payload": [
+                        synth_audio_payload(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return auds.select("doc_id").mapInPandas(
+        run,
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+
+
 IMAGE_DIM_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("fmt", T.StringType()),
@@ -402,18 +551,25 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
 
     * PNG payloads decode for real (``decode_png_pixels``): the feature
       is the normalized 8-bin intensity histogram of the raster.
-    * JPEG/GIF pixel decode and audio/video codecs are declared STUBS —
-      no PIL/ffmpeg/torchaudio in this environment; ``fake=True``
-      yields a deterministic digest feature of the same batch shape, so
-      the distributed plumbing is fully exercised either way."""
+    * PCM16 WAV payloads decode for real (``decode_wav_samples``):
+      8-bin sample-amplitude histogram.
+    * JPEG/GIF pixel decode and compressed audio/video codecs are
+      declared STUBS — no PIL/ffmpeg/torchaudio in this environment;
+      ``fake=True`` yields a deterministic digest feature of the same
+      batch shape, so the distributed plumbing is fully exercised
+      either way."""
     if not fake:
         px = decode_png_pixels(payload)
         if px is not None:
             hist, _ = np.histogram(px.reshape(-1), bins=8, range=(0, 256))
             return (hist / px.size).astype(np.float32)
+        s = decode_wav_samples(payload)
+        if s is not None:
+            hist, _ = np.histogram(s.reshape(-1), bins=8, range=(-32768, 32768))
+            return (hist / s.size).astype(np.float32)
         raise NotImplementedError(
-            f"no {kind} codec in this environment (only PNG decodes "
-            "natively); pass fake=True for the deterministic digest feature"
+            f"no {kind} codec in this environment (only PNG and PCM-WAV "
+            "decode natively); pass fake=True for the digest feature"
         )
     h = hashlib.sha256(payload).digest()
     return np.frombuffer(h[:32], dtype=np.uint8).reshape(8, 4).sum(axis=1).astype(

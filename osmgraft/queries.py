@@ -1421,6 +1421,50 @@ def media_pixels(spark, sf_dir):
     return multimodal.png_pixel_stats(media)
 
 
+@_register(
+    "media_audio",
+    """
+    WITH aud AS (
+      SELECT doc_id,
+             1 + (doc_id // 3) % 2 AS nch,
+             8000 + 100 * (doc_id % 40) AS rate,
+             1 + (doc_id * 11) % 480 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    vals AS (
+      SELECT a.doc_id,
+             SUM((a.doc_id + 31 * i.i + 17 * c.c) % 61681 - 30840) AS s,
+             MAX((a.doc_id + 31 * i.i + 17 * c.c) % 61681 - 30840) AS mx
+      FROM aud a,
+           UNNEST(generate_series(0, 479)) i(i),
+           UNNEST(generate_series(0, 1)) c(c)
+      WHERE i.i < a.n AND c.c < a.nch
+      GROUP BY 1
+    )
+    SELECT a.doc_id AS media_id,
+           CAST(a.nch AS INT) AS n_channels,
+           CAST(a.rate AS INT) AS sample_rate,
+           CAST(a.n AS BIGINT) AS n_samples,
+           CAST(v.s AS BIGINT) AS s_sum,
+           CAST(v.mx AS INT) AS s_max
+    FROM aud a JOIN vals v ON v.doc_id = a.doc_id
+    """,
+)
+def media_audio(spark, sf_dir):
+    """REAL audio decode for the WAV tier: valid PCM16 RIFF containers
+    with a deterministic sample stream (``synth_sample``) are
+    synthesized per audio doc, the Spark path walks the RIFF chunks and
+    decodes the interleaved PCM frames (``decode_wav_samples``), and
+    the oracle recomputes integer sample sums from the closed-form
+    arithmetic — covering the synth -> container -> Arrow -> chunk-walk
+    -> decode path end to end.  Compressed codecs stay declared stubs."""
+    from . import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.media_audio_from_documents(docs)
+    return multimodal.wav_sample_stats(media)
+
+
 # ---------------------------------------------------------------------------
 # Remaining operator coverage: aggregations, dedup, scalar functions
 # ---------------------------------------------------------------------------
@@ -1963,6 +2007,9 @@ _GATE_TAIL = [
     "ann_ivf_topk_nprobe",     # recall-dial variant (primary: ann_ivf_topk)
     "ann_ivf_trained",         # codebook-training variant of ann_ivf_topk
     "zoom_histogram_by_kind",  # per-kind pivot of A3 (primary: point_zoom_histogram)
+    "ann_lsh_buckets",         # hyperplane-LSH bucketing alone; the same banding is
+                               # gate-covered inside dedup_embedding_cosine's
+                               # candidate generation + exact verify
 ]
 for _n in _GATE_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)

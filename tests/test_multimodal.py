@@ -134,3 +134,33 @@ def test_decode_payload_real_png_feature():
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_payload(multimodal.synth_image_payload(3), "image")
+
+
+def test_wav_roundtrip_and_decode():
+    import numpy as np
+
+    for d in [1, 4, 7, 3001]:
+        nch, rate, n = multimodal.synth_audio_dims(d)
+        p = multimodal.synth_audio_payload(d)
+        assert multimodal.parse_audio_header(p) == (nch, rate, 16, n)
+        s = multimodal.decode_wav_samples(p)
+        assert s is not None and s.shape == (n, nch)
+        i = np.arange(n).reshape(n, 1)
+        c = np.arange(nch).reshape(1, nch)
+        want = (d + 31 * i + 17 * c) % 61681 - 30840
+        assert (s == want).all()
+
+
+def test_wav_rejects_corrupt():
+    assert multimodal.parse_audio_header(b"RIFFxxxx") is None
+    assert multimodal.parse_audio_header(multimodal.synth_image_payload(0)) is None
+    p = bytearray(multimodal.synth_audio_payload(1))
+    p[20] = 2  # audio_fmt != PCM
+    assert multimodal.parse_audio_header(bytes(p)) is None
+    trunc = multimodal.synth_audio_payload(7)[:30]
+    assert multimodal.decode_wav_samples(trunc) is None
+
+
+def test_decode_payload_real_wav_feature():
+    f = multimodal.decode_payload(multimodal.synth_audio_payload(4), "audio")
+    assert f.shape == (8,) and abs(float(f.sum()) - 1.0) < 1e-5
