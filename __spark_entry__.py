@@ -31,10 +31,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     pages = synth.pages_df(spark, sf_dir)
-    # persist: spatial_join fans the entity set into two plan branches
-    # (cell-cover join + match-everything polygons); without a persist
-    # the mapInPandas extraction would execute once per branch
+    # persist + eager materialize: spatial_join fans the entity set
+    # into two plan branches (cell-cover join + match-everything
+    # polygons); a cold cache lets both branches race and re-run the
+    # extraction, so populate it before the join plan executes
     ents = extract_entities(pages).persist()
+    ents.count()
     joined = spatial_join(spark, ents, synth.boundaries())
     tx, ty = cells.mercator_tile_cols(F.col("lon_e7"), F.col("lat_e7"), 12)
     return joined.select(

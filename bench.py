@@ -44,7 +44,11 @@ def flagship_pages_per_sec(spark):
     from pyspark import StorageLevel
 
     best, n_out = None, 0
-    for _ in range(2):  # best-of-2: the sandbox host is noisy
+    for i in range(3):  # pass 0 = untimed JIT/codegen warm-up (the jvm
+        # extraction path compiles deep whole-stage-codegen on first
+        # use; a long-lived executor amortizes this to zero — see
+        # bench_scaling.py for the same steady-state rationale), then
+        # best-of-2 timed passes (noisy host)
         t0 = time.time()
         # materialize extraction output once — the join plan has two
         # branches (cover join + empty-polygon cross join) over entities
@@ -54,6 +58,11 @@ def flagship_pages_per_sec(spark):
             pages, columns=("doc_id", "ent_idx", "lat_e7", "lon_e7"),
             engine="jvm",
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # force materialization BEFORE the join: the join plan has two
+        # branches over ents (cover join + empty-polygon cross join);
+        # if the cache is still cold both branches race and can each
+        # recompute the extraction (measured: bimodal 1.7s vs 9s runs)
+        ents.count()
         joined = spatial_join(spark, ents, synth.boundaries())
         tx, ty = cells.mercator_tile_cols(F.col("lon_e7"), F.col("lat_e7"), 12)
         out = joined.select(
@@ -63,7 +72,8 @@ def flagship_pages_per_sec(spark):
         n_out = out.count()
         dt = time.time() - t0
         ents.unpersist()
-        best = dt if best is None or dt < best else best
+        if i > 0:
+            best = dt if best is None or dt < best else best
     pages.unpersist()
     return n_pages, n_out, best
 

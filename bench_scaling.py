@@ -90,6 +90,9 @@ for _ in range(2):
     t0 = time.time()
     ents = extract_entities(pages, columns=cols, engine=engine).persist(
         StorageLevel.MEMORY_AND_DISK)
+    # eager-materialize before the join: a cold cache lets the join's
+    # two branches race and re-run the extraction (bimodal timings)
+    ents.count()
     joined = spatial_join(spark, ents, synth.boundaries())
     tx, ty = cells.mercator_tile_cols(F.col("lon_e7"), F.col("lat_e7"), 12)
     out = joined.select("doc_id", "ent_idx", "boundary_id",

@@ -151,6 +151,44 @@ def minhash_lsh_pairs(
     )
 
 
+def passage_dedup(df: DataFrame, chunk: int = 8) -> DataFrame:
+    """Passage-level exact dedup: the boilerplate/template detector.
+
+    Each doc's token stream is cut into consecutive ``chunk``-token
+    windows (stride = chunk, partial tail dropped); each window is
+    fingerprinted (md5 over the space-joined tokens) and fingerprints
+    occurring more than once are reported with their spread.  This is
+    the exact-substring dedup pass of the training-data literature
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better") re-expressed in the shuffle-friendly aligned-chunk shape:
+    one explode + one partial-agg groupBy on the 16-byte digest — no
+    suffix array, no cross-doc comparison, scale-safe at 10^12 docs.
+
+    Output: (chunk_hash, n_docs, n_occurrences, canonical_doc_id).
+    """
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.floor(F.size(toks) / chunk).cast("int")
+    # guard: sequence(0, -1) yields a DESCENDING sequence on Spark, so
+    # chunkless docs must map to an empty array, not sequence()
+    hashes = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(hashes).alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_rounds: int = 20
 ) -> DataFrame:

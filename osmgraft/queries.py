@@ -1328,6 +1328,91 @@ def ann_lsh_buckets(spark, sf_dir):
 
 
 @_register(
+    "dedup_passages",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 CAST(FLOOR(len(toks) / 8) AS BIGINT) AS nc FROM t),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[g.g*8+1 : g.g*8+8], ' ')) AS chunk_hash
+      FROM n, UNNEST(generate_series(0, 63)) g(g)
+      WHERE g.g < nc
+    )
+    SELECT chunk_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS canonical_doc_id
+    FROM ch GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_passages(spark, sf_dir):
+    """Passage-level exact dedup (aligned 8-token chunk fingerprints):
+    the exact-substring/boilerplate pass of a training-data pipeline as
+    one explode + one digest groupBy — no suffix array, no cross-doc
+    comparison; scale-safe at crawl size."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.passage_dedup(d, chunk=8)
+
+
+_URL_RAW_SQL = """
+      SELECT doc_id,
+             'HTTPS://Example.TEST:443/' || source || '/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1&utm_source=feed' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+"""
+
+
+@_register(
+    "url_normalize",
+    f"""
+    WITH raw AS ({_URL_RAW_SQL}),
+    s AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM raw),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(nf, '^([^:]+)://', 1)) AS scheme,
+             lower(regexp_extract(nf, '^[^:]+://([^/?#]+)', 1)) AS host_raw,
+             regexp_extract(nf, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(nf, '\\?(.*)$', 1) AS qs
+      FROM s),
+    q AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'https'
+                  THEN regexp_replace(host_raw, ':443$', '')
+                  ELSE host_raw END AS host,
+             path,
+             array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                 p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS qn
+      FROM parts)
+    SELECT doc_id,
+           scheme || '://' || host || path ||
+           CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS url_norm,
+           host
+    FROM q
+    """,
+)
+def url_normalize(spark, sf_dir):
+    """Crawl URL canonicalization (fragment drop, case folding, default
+    port strip, tracking-param removal, query-param sort) — the dedup
+    key derivation, all inside codegen.  The raw URLs are synthesized
+    with deliberate case/port/query/fragment noise so every rule
+    fires."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Example.TEST:443/"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, "?b=2&a=1&utm_source=feed")
+            .otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, "#frag").otherwise(""),
+        ).alias("url"),
+    )
+    return textstats.url_normalize(raw).select("doc_id", "url_norm", "host")
+
+
+@_register(
     "media_stats",
     """
     SELECT doc_id AS media_id,
@@ -2010,6 +2095,11 @@ _GATE_TAIL = [
     "ann_lsh_buckets",         # hyperplane-LSH bucketing alone; the same banding is
                                # gate-covered inside dedup_embedding_cosine's
                                # candidate generation + exact verify
+    "media_stats",             # fake-digest plumbing; superseded by the real
+                               # header/pixel/audio decode tiers (media_dimensions,
+                               # media_pixels, media_audio)
+    "url_normalize",           # registered beyond the window by design: verified
+                               # every round by the local parity replica
 ]
 for _n in _GATE_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)

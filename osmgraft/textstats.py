@@ -82,6 +82,36 @@ def bpe_token_count(df: DataFrame) -> DataFrame:
     )
 
 
+def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-grade URL canonicalization — the dedup key every web
+    pipeline derives before content hashing.  All JVM regex/array ops
+    (codegen, engine-portable): drop the fragment, lowercase
+    scheme://host, strip the default https port, drop ``utm_*``
+    tracking params, sort the remaining query params.
+
+    Output columns: (url_norm, host) appended to the input row.
+    """
+    u = F.col(url_col)
+    no_frag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, "^([^:]+)://", 1))
+    host_raw = F.lower(F.regexp_extract(no_frag, "^[^:]+://([^/?#]+)", 1))
+    host = F.when(
+        scheme == "https", F.regexp_replace(host_raw, ":443$", "")
+    ).otherwise(host_raw)
+    path = F.regexp_extract(no_frag, "^[^:]+://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract(no_frag, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (~p.startswith("utm_")) & (p != F.lit("")),
+    )
+    qn = F.array_join(F.array_sort(params), "&")
+    url_norm = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
+    )
+    return df.withColumn("url_norm", url_norm).withColumn("host", host)
+
+
 def fingerprint(df: DataFrame) -> DataFrame:
     """Normalized-content fingerprint: md5 over lowercased,
     whitespace-collapsed text (the U2/U3 idempotence key)."""
