@@ -125,6 +125,194 @@ def _png_filter_encode(raw: np.ndarray, ftype: int, prev: np.ndarray, bpp: int) 
     return (out % 256).astype(np.uint8).tobytes()
 
 
+def gif_palette(i: int, ch: int) -> int:
+    """Closed-form global-color-table entry (4 colors x RGB) — the same
+    arithmetic the DuckDB oracle evaluates."""
+    return (60 * i + 20 * ch + 7) % 256
+
+
+def synth_gif_index(doc_id: int, x: int, y: int) -> int:
+    """Closed-form palette index of pixel (x, y)."""
+    return (x + 2 * y + doc_id) % 4
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Frame a byte stream into GIF <=255-byte sub-blocks."""
+    out = []
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(bytes([len(chunk)]) + chunk)
+    return b"".join(out)
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF's LZW bit order)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Standard GIF-LZW compression of a palette-index stream: variable
+    code width (min_code_size+1 .. 12 bits, LSB-first), leading clear
+    code, dictionary reset at 4096 entries, trailing EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _BitWriter()
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    w.write(clear, width)
+    prefix = b""
+    for v in indices.tolist():
+        cur = prefix + bytes([v])
+        if cur in table:
+            prefix = cur
+            continue
+        w.write(table[prefix], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4096:
+            w.write(clear, width)
+            table, next_code, width = reset()
+        prefix = bytes([v])
+    if prefix:
+        w.write(table[prefix], width)
+    w.write(eoi, width)
+    return w.finish()
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
+    """Standard GIF-LZW decompression (incl. the KwKwK deferred-code
+    case and mid-stream clear codes); None on a corrupt code stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # stream ended without EOI — tolerate
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray | None:
+    """Pure stdlib+numpy GIF raster decode — no codec library: logical
+    screen + color tables + real LZW decompression of the first image
+    block, palette-mapped to an (h, w, 3) uint8 array.  Interlaced
+    images and payloads without a color table return None; extension
+    blocks are skipped — never raises."""
+    b = payload
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = b[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer
+            return None
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            return None
+        if pos + 10 > len(b):
+            return None
+        _, _, w, h = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+        iflags = b[pos + 9]
+        pos += 10
+        if iflags & 0x40:  # interlaced — out of scope
+            return None
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = b[pos : pos + 3 * n]
+            if len(ct) < 3 * n:
+                return None
+            pos += 3 * n
+        if ct is None or pos >= len(b) or w == 0 or h == 0:
+            return None
+        mcs = b[pos]
+        pos += 1
+        if not (2 <= mcs <= 8):
+            return None
+        stream = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            stream += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(bytes(stream), mcs)
+        if idx is None or len(idx) < w * h:
+            return None
+        arr = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8)
+        if int(arr.max()) * 3 + 3 > len(ct):
+            return None
+        pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+        return pal[arr].reshape(h, w, 3)
+    return None
+
+
 def synth_image_payload(doc_id: int) -> bytes:
     """A *valid* minimal image container with :func:`synth_dims`
     dimensions.  PNG: real IHDR/IDAT/IEND with correct CRCs and a
@@ -163,7 +351,24 @@ def synth_image_payload(doc_id: int) -> bytes:
             + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
             + b"\xff\xd9"  # EOI
         )
-    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+    # GIF89a: logical screen + 4-entry global color table + one image
+    # block whose pixel indices are real LZW-compressed data
+    xs = np.arange(w, dtype=np.int64).reshape(1, w)
+    ys = np.arange(h, dtype=np.int64).reshape(h, 1)
+    idx = ((xs + 2 * ys + doc_id) % 4).astype(np.uint8).reshape(-1)
+    gct = bytes(
+        gif_palette(i, ch) for i in range(4) for ch in range(3)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x91, 0, 0])  # GCT flag, 2-bit color resolution, 4 entries
+        + gct
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # image desc
+        + bytes([2])  # LZW minimum code size
+        + _gif_subblocks(_gif_lzw_encode(idx, 2))
+        + b"\x00\x3b"  # block terminator + trailer
+    )
 
 
 def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
@@ -308,18 +513,22 @@ PIXEL_STATS_SCHEMA = T.StructType([
 ])
 
 
-def png_pixel_stats(media: DataFrame) -> DataFrame:
-    """Arrow-batched real pixel statistics over PNG payloads:
-    (media_id, width, height, n_vals, px_sum, px_max).  Integer-exact —
-    gate-comparable against the closed-form :func:`synth_pixel` raster
-    arithmetic.  Non-PNG / undecodable payloads yield -1 dims (kept,
-    not dropped)."""
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched real pixel statistics over image payloads —
+    PNG (inflate + filter reversal) and GIF (LZW + palette map) both
+    decode for real: (media_id, width, height, n_vals, px_sum, px_max).
+    Integer-exact — gate-comparable against the closed-form raster
+    arithmetic.  JPEG / undecodable payloads yield -1 dims (kept, not
+    dropped)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_png_pixels(bytes(p))
+                raw = bytes(p)
+                px = decode_png_pixels(raw)
+                if px is None:
+                    px = decode_gif_pixels(raw)
                 if px is None:
                     rows.append((int(mid), -1, -1, 0, 0, -1))
                 else:
@@ -560,6 +769,8 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
       either way."""
     if not fake:
         px = decode_png_pixels(payload)
+        if px is None:
+            px = decode_gif_pixels(payload)
         if px is not None:
             hist, _ = np.histogram(px.reshape(-1), bins=8, range=(0, 256))
             return (hist / px.size).astype(np.float32)

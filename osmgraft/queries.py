@@ -1465,45 +1465,53 @@ def media_dimensions(spark, sf_dir):
     WITH img AS (
       SELECT doc_id,
              (doc_id // 3) % 3 = 0 AS is_png,
+             (doc_id // 3) % 3 = 2 AS is_gif,
              1 + doc_id % 64 AS w, 1 + (doc_id * 7) % 48 AS h
       FROM documents WHERE doc_id % 3 = 0
     ),
     vals AS (
       SELECT i.doc_id,
-             SUM((3 * x.x + c.c + 7 * y.y + i.doc_id) % 251) AS s,
-             MAX((3 * x.x + c.c + 7 * y.y + i.doc_id) % 251) AS mx,
+             SUM(CASE WHEN i.is_png
+                 THEN (3 * x.x + c.c + 7 * y.y + i.doc_id) % 251
+                 ELSE (60 * ((x.x + 2 * y.y + i.doc_id) % 4) + 20 * c.c + 7) % 256
+                 END) AS s,
+             MAX(CASE WHEN i.is_png
+                 THEN (3 * x.x + c.c + 7 * y.y + i.doc_id) % 251
+                 ELSE (60 * ((x.x + 2 * y.y + i.doc_id) % 4) + 20 * c.c + 7) % 256
+                 END) AS mx,
              COUNT(*) AS n
       FROM img i,
            UNNEST(generate_series(0, 63)) x(x),
            UNNEST(generate_series(0, 47)) y(y),
            UNNEST(generate_series(0, 2)) c(c)
-      WHERE i.is_png AND x.x < i.w AND y.y < i.h
+      WHERE (i.is_png OR i.is_gif) AND x.x < i.w AND y.y < i.h
       GROUP BY 1
     )
     SELECT i.doc_id AS media_id,
-           CAST(CASE WHEN i.is_png THEN i.w ELSE -1 END AS INT) AS width,
-           CAST(CASE WHEN i.is_png THEN i.h ELSE -1 END AS INT) AS height,
+           CAST(CASE WHEN i.is_png OR i.is_gif THEN i.w ELSE -1 END AS INT) AS width,
+           CAST(CASE WHEN i.is_png OR i.is_gif THEN i.h ELSE -1 END AS INT) AS height,
            CAST(COALESCE(v.n, 0) AS BIGINT) AS n_vals,
            CAST(COALESCE(v.s, 0) AS BIGINT) AS px_sum,
-           CAST(CASE WHEN i.is_png THEN v.mx ELSE -1 END AS INT) AS px_max
+           CAST(CASE WHEN i.is_png OR i.is_gif THEN v.mx ELSE -1 END AS INT) AS px_max
     FROM img i LEFT JOIN vals v ON v.doc_id = i.doc_id
     """,
 )
 def media_pixels(spark, sf_dir):
-    """REAL pixel decode for the PNG tier: the synthesized containers
+    """REAL pixel decode for the PNG and GIF tiers: PNG containers
     carry a deterministic raster (``synth_pixel``) with every scanline
-    filtered by type y%5; the Spark path inflates the IDAT stream and
-    reverses all five PNG filters (``decode_png_pixels``), and the
-    oracle recomputes integer pixel sums from the closed-form raster
-    arithmetic — a disagreement anywhere in encode -> filter -> deflate
-    -> Arrow -> inflate -> unfilter fails the gate.  Non-PNG payloads
-    keep the -1/-empty sentinel (decode coverage is explicit, not
-    silently dropped)."""
+    filtered by type y%5 (decode = inflate + all-5-filter reversal);
+    GIF containers carry genuine LZW-compressed palette indices
+    (``synth_gif_index``; decode = LZW decompression + palette map).
+    The oracle recomputes integer pixel sums from the closed-form
+    arithmetic — a disagreement anywhere in encode -> compress ->
+    Arrow -> decompress -> unfilter/palette-map fails the gate.  JPEG
+    payloads keep the -1 sentinel (entropy decode is the declared
+    stub; decode coverage is explicit, never silently dropped)."""
     from . import multimodal
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = multimodal.media_images_from_documents(docs)
-    return multimodal.png_pixel_stats(media)
+    return multimodal.image_pixel_stats(media)
 
 
 @_register(

@@ -164,3 +164,42 @@ def test_wav_rejects_corrupt():
 def test_decode_payload_real_wav_feature():
     f = multimodal.decode_payload(multimodal.synth_audio_payload(4), "audio")
     assert f.shape == (8,) and abs(float(f.sum()) - 1.0) < 1e-5
+
+
+def test_gif_lzw_roundtrip_and_decode():
+    import numpy as np
+
+    for d in [6, 15, 24, 33, 96]:  # doc_id % 9 == 6 -> gif
+        fmt, w, h = multimodal.synth_dims(d)
+        assert fmt == "gif"
+        px = multimodal.decode_gif_pixels(multimodal.synth_image_payload(d))
+        assert px is not None and px.shape == (h, w, 3)
+        xs = np.arange(w).reshape(1, w)
+        ys = np.arange(h).reshape(h, 1)
+        idx = (xs + 2 * ys + d) % 4
+        pal = np.array(
+            [[multimodal.gif_palette(i, c) for c in range(3)] for i in range(4)]
+        )
+        assert (px == pal[idx]).all()
+
+
+def test_gif_lzw_stress_reset_path():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # 8-bit stream long enough to grow to 12-bit codes and reset
+    s = rng.randint(0, 256, size=60000).astype(np.uint8)
+    dec = multimodal._gif_lzw_decode(multimodal._gif_lzw_encode(s, 8), 8)
+    assert bytes(dec) == s.tobytes()
+
+
+def test_gif_rejects_corrupt():
+    assert multimodal.decode_gif_pixels(b"GIF89a" + b"x" * 10) is None
+    assert multimodal.decode_gif_pixels(multimodal.synth_image_payload(0)) is None
+    trunc = multimodal.synth_image_payload(6)[:15]
+    assert multimodal.decode_gif_pixels(trunc) is None
+
+
+def test_decode_payload_real_gif_feature():
+    f = multimodal.decode_payload(multimodal.synth_image_payload(6), "image")
+    assert f.shape == (8,) and abs(float(f.sum()) - 1.0) < 1e-5
