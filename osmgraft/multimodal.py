@@ -246,16 +246,15 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
             width += 1
 
 
-def decode_gif_pixels(payload: bytes) -> np.ndarray | None:
-    """Pure stdlib+numpy GIF raster decode — no codec library: logical
-    screen + color tables + real LZW decompression of the first image
-    block, palette-mapped to an (h, w, 3) uint8 array.  Interlaced
-    images and payloads without a color table return None; extension
-    blocks are skipped — never raises."""
+def decode_gif_frames(payload: bytes) -> list[np.ndarray] | None:
+    """Pure stdlib+numpy GIF decode of EVERY image block — no codec
+    library: logical screen + color tables + real LZW decompression,
+    each frame palette-mapped to an (h, w, 3) uint8 array.  Interlaced
+    frames or a missing color table return None; extension blocks
+    (graphic control etc.) are skipped — never raises."""
     b = payload
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
-    sw, sh = struct.unpack("<HH", b[6:10])
     flags = b[10]
     pos = 13
     gct = None
@@ -265,10 +264,11 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray | None:
         if len(gct) < 3 * n:
             return None
         pos += 3 * n
+    frames: list[np.ndarray] = []
     while pos < len(b):
         block = b[pos]
         if block == 0x3B:  # trailer
-            return None
+            break
         if block == 0x21:  # extension: label + sub-blocks
             pos += 2
             while pos < len(b) and b[pos] != 0:
@@ -302,6 +302,7 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray | None:
             ln = b[pos]
             stream += b[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        pos += 1  # block terminator
         idx = _gif_lzw_decode(bytes(stream), mcs)
         if idx is None or len(idx) < w * h:
             return None
@@ -309,8 +310,14 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray | None:
         if int(arr.max()) * 3 + 3 > len(ct):
             return None
         pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
-        return pal[arr].reshape(h, w, 3)
-    return None
+        frames.append(pal[arr].reshape(h, w, 3))
+    return frames or None
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray | None:
+    """First frame of :func:`decode_gif_frames` (still-image decode)."""
+    frames = decode_gif_frames(payload)
+    return None if frames is None else frames[0]
 
 
 def synth_image_payload(doc_id: int) -> bytes:
@@ -369,6 +376,40 @@ def synth_image_payload(doc_id: int) -> bytes:
         + _gif_subblocks(_gif_lzw_encode(idx, 2))
         + b"\x00\x3b"  # block terminator + trailer
     )
+
+
+def synth_video_dims(doc_id: int) -> tuple[int, int, int]:
+    """Closed-form (width, height, n_frames) for a doc's synthetic
+    'video' (animated GIF) — oracle-shared arithmetic."""
+    return 1 + doc_id % 32, 1 + (doc_id * 5) % 24, 2 + doc_id % 4
+
+
+def synth_video_payload(doc_id: int) -> bytes:
+    """A *valid* multi-frame (animated) GIF89a as the honest video
+    stand-in: per-frame graphic-control extensions + image blocks with
+    genuinely LZW-compressed palette indices; frame f's pixel index is
+    ``(x + 2y + doc_id + 5f) % 4``."""
+    w, h, n_frames = synth_video_dims(doc_id)
+    xs = np.arange(w, dtype=np.int64).reshape(1, w)
+    ys = np.arange(h, dtype=np.int64).reshape(h, 1)
+    gct = bytes(gif_palette(i, ch) for i in range(4) for ch in range(3))
+    out = [
+        b"GIF89a",
+        struct.pack("<HH", w, h),
+        bytes([0x91, 0, 0]),
+        gct,
+        # netscape-style application extension exercises the ext-skip path
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00",
+    ]
+    for f in range(n_frames):
+        idx = ((xs + 2 * ys + doc_id + 5 * f) % 4).astype(np.uint8).reshape(-1)
+        out.append(b"\x21\xf9\x04\x00\x0a\x00\x00\x00")  # GCE, 10cs delay
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
+        out.append(bytes([2]))
+        out.append(_gif_subblocks(_gif_lzw_encode(idx, 2)))
+        out.append(b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)
 
 
 def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
@@ -693,6 +734,123 @@ def media_audio_from_documents(docs: DataFrame) -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]),
     )
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+])
+
+
+def frame_sample_stats(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling over video payloads (the brief's frame-sample
+    verb): decode every frame (real LZW for the GIF container), keep
+    frames 0, k, 2k, ... and emit integer pixel stats per sampled
+    frame.  Undecodable payloads yield a single (-1, -1, -1, 0)
+    sentinel row.  Arrow-batched mapInPandas; at crawl scale the batch
+    is the unit of work and each row decodes independently."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(p))
+                if frames is None:
+                    rows.append((int(mid), -1, -1, -1, 0))
+                    continue
+                for fi in range(0, len(frames), every_k):
+                    fr = frames[fi]
+                    rows.append((
+                        int(mid), fi, fr.shape[1], fr.shape[0],
+                        int(fr.sum(dtype=np.int64)),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_STATS_SCHEMA.fields]
+            ).astype({
+                "media_id": "int64", "frame_idx": "int32",
+                "width": "int32", "height": "int32", "px_sum": "int64",
+            })
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_STATS_SCHEMA)
+
+
+def media_video_from_documents(docs: DataFrame) -> DataFrame:
+    """The video slice of the media table with *real* animated-GIF
+    bytes (doc_id % 3 == 2, the 'video' kind population)."""
+    vids = docs.filter(F.col("doc_id") % 3 == 2)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "video",
+                    "payload": [
+                        synth_video_payload(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return vids.select("doc_id").mapInPandas(
+        run,
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, c) raster to
+    (out_h, out_w, c): src = floor(dst * src_extent / dst_extent) — the
+    deterministic closed-form kernel, so thumbnails are oracle-checkable."""
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[ys][:, xs]
+
+
+THUMB_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("src_w", T.IntegerType()),
+    T.StructField("src_h", T.IntegerType()),
+    T.StructField("thumb_sum", T.LongType()),
+])
+
+
+def thumbnail_stats(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Resize verb: decode (PNG or GIF), nearest-neighbor downsample to
+    ``out_w x out_h``, emit integer thumbnail pixel sums.  Undecodable
+    payloads keep the -1 sentinel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                px = decode_png_pixels(raw)
+                if px is None:
+                    px = decode_gif_pixels(raw)
+                if px is None:
+                    rows.append((int(mid), -1, -1, 0))
+                else:
+                    th = resize_nearest(px, out_w, out_h)
+                    rows.append((
+                        int(mid), px.shape[1], px.shape[0],
+                        int(th.sum(dtype=np.int64)),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in THUMB_STATS_SCHEMA.fields]
+            ).astype({
+                "media_id": "int64", "src_w": "int32",
+                "src_h": "int32", "thumb_sum": "int64",
+            })
+
+    return media.select("media_id", "payload").mapInPandas(run, THUMB_STATS_SCHEMA)
 
 
 IMAGE_DIM_SCHEMA = T.StructType([

@@ -2080,6 +2080,89 @@ def dedup_clusters(spark, sf_dir):
     return dedup.connected_components_star(pairs)
 
 
+@_register(
+    "media_frames",
+    """
+    WITH vid AS (
+      SELECT doc_id, 1 + doc_id % 32 AS w, 1 + (doc_id * 5) % 24 AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (
+      SELECT v.doc_id, v.w, v.h, f.f AS frame_idx
+      FROM vid v, UNNEST(generate_series(0, 5)) f(f)
+      WHERE f.f < v.nf AND f.f % 2 = 0
+    )
+    SELECT fr.doc_id AS media_id,
+           CAST(fr.frame_idx AS INT) AS frame_idx,
+           CAST(fr.w AS INT) AS width, CAST(fr.h AS INT) AS height,
+           CAST(SUM((60 * ((x.x + 2 * y.y + fr.doc_id + 5 * fr.frame_idx) % 4)
+                     + 20 * c.c + 7) % 256) AS BIGINT) AS px_sum
+    FROM fr,
+         UNNEST(generate_series(0, 31)) x(x),
+         UNNEST(generate_series(0, 23)) y(y),
+         UNNEST(generate_series(0, 2)) c(c)
+    WHERE x.x < fr.w AND y.y < fr.h
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def media_frames(spark, sf_dir):
+    """Frame sampling over the video tier: every video doc carries a
+    genuine multi-frame animated GIF (per-frame LZW image blocks +
+    graphic-control extensions); the Spark path decodes all frames and
+    keeps every 2nd one; the oracle recomputes per-frame pixel sums
+    from the closed-form raster arithmetic."""
+    from . import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.media_video_from_documents(docs)
+    return multimodal.frame_sample_stats(media, every_k=2)
+
+
+@_register(
+    "media_resize",
+    """
+    WITH img AS (
+      SELECT doc_id,
+             (doc_id // 3) % 3 = 0 AS is_png,
+             (doc_id // 3) % 3 = 2 AS is_gif,
+             1 + doc_id % 64 AS w, 1 + (doc_id * 7) % 48 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    t AS (
+      SELECT i.doc_id,
+             SUM(CASE WHEN i.is_png
+                 THEN (3 * ((x.x * i.w) // 8) + c.c
+                       + 7 * ((y.y * i.h) // 8) + i.doc_id) % 251
+                 ELSE (60 * (((x.x * i.w) // 8 + 2 * ((y.y * i.h) // 8)
+                              + i.doc_id) % 4) + 20 * c.c + 7) % 256
+                 END) AS s
+      FROM img i,
+           UNNEST(generate_series(0, 7)) x(x),
+           UNNEST(generate_series(0, 7)) y(y),
+           UNNEST(generate_series(0, 2)) c(c)
+      WHERE i.is_png OR i.is_gif
+      GROUP BY 1
+    )
+    SELECT i.doc_id AS media_id,
+           CAST(CASE WHEN i.is_png OR i.is_gif THEN i.w ELSE -1 END AS INT) AS src_w,
+           CAST(CASE WHEN i.is_png OR i.is_gif THEN i.h ELSE -1 END AS INT) AS src_h,
+           CAST(COALESCE(t.s, 0) AS BIGINT) AS thumb_sum
+    FROM img i LEFT JOIN t ON t.doc_id = i.doc_id
+    """,
+)
+def media_resize(spark, sf_dir):
+    """Resize verb: decode (PNG filter reversal / GIF LZW), 8x8
+    nearest-neighbor thumbnail, integer pixel sums; the oracle
+    evaluates the identical floor-scaled source-coordinate kernel on
+    the closed-form rasters.  JPEG keeps the -1 sentinel."""
+    from . import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.media_images_from_documents(docs)
+    return multimodal.thumbnail_stats(media, out_w=8, out_h=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate priority ordering
 # ---------------------------------------------------------------------------
@@ -2108,6 +2191,9 @@ _GATE_TAIL = [
                                # media_pixels, media_audio)
     "url_normalize",           # registered beyond the window by design: verified
                                # every round by the local parity replica
+    "media_frames",            # beyond-window by design (media_pixels/media_audio
+                               # gate-cover the decode tiers; frame sampling and
+    "media_resize",            # resize are verified by the local parity replica)
 ]
 for _n in _GATE_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)

@@ -203,3 +203,36 @@ def test_gif_rejects_corrupt():
 def test_decode_payload_real_gif_feature():
     f = multimodal.decode_payload(multimodal.synth_image_payload(6), "image")
     assert f.shape == (8,) and abs(float(f.sum()) - 1.0) < 1e-5
+
+
+def test_video_frames_roundtrip():
+    import numpy as np
+
+    for d in [2, 5, 11]:
+        w, h, nf = multimodal.synth_video_dims(d)
+        frames = multimodal.decode_gif_frames(multimodal.synth_video_payload(d))
+        assert frames is not None and len(frames) == nf
+        pal = np.array(
+            [[multimodal.gif_palette(i, c) for c in range(3)] for i in range(4)]
+        )
+        xs = np.arange(w).reshape(1, w)
+        ys = np.arange(h).reshape(h, 1)
+        for f in range(nf):
+            assert (frames[f] == pal[(xs + 2 * ys + d + 5 * f) % 4]).all()
+
+
+def test_resize_nearest_kernel():
+    import numpy as np
+
+    px = multimodal.decode_png_pixels(multimodal.synth_image_payload(9))
+    th = multimodal.resize_nearest(px, 8, 8)
+    _, w, h = multimodal.synth_dims(9)
+    want = np.array(
+        [[[multimodal.synth_pixel(9, (x * w) // 8, (y * h) // 8, c)
+           for c in range(3)] for x in range(8)] for y in range(8)]
+    )
+    assert th.shape == (8, 8, 3) and (th == want).all()
+    # upscale path: 1x1 -> 4x4 replicates the single pixel
+    one = multimodal.decode_png_pixels(multimodal.synth_image_payload(0))
+    up = multimodal.resize_nearest(one, 4, 4)
+    assert up.shape == (4, 4, 3) and (up == one[0, 0]).all()
