@@ -44,11 +44,11 @@ def flagship_pages_per_sec(spark):
     from pyspark import StorageLevel
 
     best, n_out = None, 0
-    for i in range(3):  # pass 0 = untimed JIT/codegen warm-up (the jvm
+    for i in range(4):  # pass 0 = untimed JIT/codegen warm-up (the jvm
         # extraction path compiles deep whole-stage-codegen on first
         # use; a long-lived executor amortizes this to zero — see
         # bench_scaling.py for the same steady-state rationale), then
-        # best-of-2 timed passes (noisy host)
+        # best-of-3 timed passes (noisy host)
         t0 = time.time()
         # materialize extraction output once — the join plan has two
         # branches (cover join + empty-polygon cross join) over entities

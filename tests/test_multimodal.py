@@ -236,3 +236,25 @@ def test_resize_nearest_kernel():
     one = multimodal.decode_png_pixels(multimodal.synth_image_payload(0))
     up = multimodal.resize_nearest(one, 4, 4)
     assert up.shape == (4, 4, 3) and (up == one[0, 0]).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=255), max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_property(vals):
+    """Property: LZW decode(encode(s)) == s for any byte stream."""
+    import numpy as np
+
+    s = np.array(vals, dtype=np.uint8)
+    dec = multimodal._gif_lzw_decode(multimodal._gif_lzw_encode(s, 8), 8)
+    assert bytes(dec) == s.tobytes()
+
+
+@given(st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=40, deadline=None)
+def test_video_payload_frame_count_property(doc_id):
+    """Property: any synthetic video payload decodes to exactly its
+    closed-form frame count with closed-form dimensions."""
+    w, h, nf = multimodal.synth_video_dims(doc_id)
+    frames = multimodal.decode_gif_frames(multimodal.synth_video_payload(doc_id))
+    assert frames is not None and len(frames) == nf
+    assert all(f.shape == (h, w, 3) for f in frames)

@@ -147,3 +147,20 @@ def test_cosine_topk_ivf_plan_has_no_full_crossjoin(spark, emb):
     # the only cross join allowed is the tiny centroid assignment
     # (8 rows broadcast); the pair space must be an equi-join
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_train_multi_iteration_valid_and_converging(spark, sf_dir):
+    """iters > 1 Lloyd training: every vector stays assigned, centroid
+    ids stay in range, and the (deterministic) assignment stabilizes —
+    re-running the same training reproduces it exactly."""
+    from osmgraft import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    a2 = similarity.ivf_train_assign(e, n_centroids=8, iters=2)
+    rows = a2.collect()
+    assert len(rows) == n
+    assert all(0 <= r.centroid_id < 8 for r in rows)
+    again = {(r.vec_id, r.centroid_id) for r in
+             similarity.ivf_train_assign(e, n_centroids=8, iters=2).collect()}
+    assert {(r.vec_id, r.centroid_id) for r in rows} == again
