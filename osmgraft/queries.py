@@ -1328,6 +1328,36 @@ def ann_lsh_buckets(spark, sf_dir):
 
 
 @_register(
+    "tile_raster_roundtrip",
+    f"""
+    WITH pts AS ({_PTS}),
+    m AS (SELECT lon_e7, CAST({_MERC_SQL} AS BIGINT) AS my FROM pts),
+    g AS (SELECT GREATEST(0, LEAST(1023, ((lon_e7 + 1800000000) * 1024) // 3600000000)) AS gx,
+                 GREATEST(0, LEAST(1023, ((my + 1800000000) * 1024) // 3600000000)) AS gy
+          FROM m),
+    r AS (SELECT gx // 16 AS tile_x, gy // 16 AS tile_y,
+                 gx % 16 AS px, gy % 16 AS py, COUNT(*) AS n
+          FROM g GROUP BY ALL)
+    SELECT CAST(6 AS INT) AS z, tile_x, tile_y,
+           CAST(px AS INT) AS px, CAST(py AS INT) AS py, n AS n_points,
+           ((2 * (tile_x * 16 + px) + 1) * 3600000000) // 2048 - 1800000000 AS lon_e7,
+           ((2 * (tile_y * 16 + py) + 1) * 3600000000) // 2048 - 1800000000 AS my_e7
+    FROM r WHERE n >= 2
+    """,
+)
+def tile_raster_roundtrip(spark, sf_dir):
+    """North-rule raster<->vector: rasterize geo entities into a 16x16
+    pixel grid per z6 tile (sparse per-pixel counts, one partial-agg
+    shuffle), then vectorize pixels with >= 2 points back to point
+    features at exact integer pixel centers in projected e7 space.
+    The oracle recomputes both directions with the identical integer
+    arithmetic."""
+    pts = synth.geo_entities_df(spark, sf_dir)
+    raster = tiles.rasterize_points(pts, z=6, res_bits=4)
+    return tiles.vectorize_raster(raster, z=6, res_bits=4, threshold=2)
+
+
+@_register(
     "dedup_passages",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2189,6 +2219,9 @@ _GATE_TAIL = [
     "media_stats",             # fake-digest plumbing; superseded by the real
                                # header/pixel/audio decode tiers (media_dimensions,
                                # media_pixels, media_audio)
+    "doc_fingerprint",         # md5-of-normalized-text mechanism is gate-covered
+                               # by dedup_exact + first_write_wins; stays in the
+                               # local parity replica
     "url_normalize",           # registered beyond the window by design: verified
                                # every round by the local parity replica
     "media_frames",            # beyond-window by design (media_pixels/media_audio

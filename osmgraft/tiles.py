@@ -275,3 +275,65 @@ def rollup_tiles(tiles: DataFrame, from_z: int, to_z: int) -> DataFrame:
         .groupBy("z", "tile_x", "tile_y")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def rasterize_points(points: DataFrame, z: int, res_bits: int = 4) -> DataFrame:
+    """Vector -> raster (the north_rule's raster<->vector, forward
+    direction): bin point features into a ``2^res_bits`` x
+    ``2^res_bits`` pixel grid per z-tile (mercator y, the reference's
+    tile addressing) and count per pixel.
+
+    Output is the SPARSE raster encoding — one row per non-empty pixel
+    (z, tile_x, tile_y, px, py, n_points) — produced by a single
+    partial-agg groupBy keyed on the pixel: the 100 TB shape (empty
+    ocean pixels cost nothing, hot urban pixels are just rows).  A
+    dense res x res array per tile is a presentation-layer reshape
+    (groupBy tile + collect into an array), deliberately not the
+    storage form.
+    """
+    level = z + res_bits
+    mask = (1 << res_bits) - 1
+    gx = cells.axis_tile_col(F.col("lon_e7"), level)
+    gy = cells.axis_tile_col(cells.mercator_y_col(F.col("lat_e7")), level)
+    return (
+        points.select(gx.alias("gx"), gy.alias("gy"))
+        .select(
+            F.lit(z).cast("int").alias("z"),
+            F.shiftright("gx", res_bits).alias("tile_x"),
+            F.shiftright("gy", res_bits).alias("tile_y"),
+            F.col("gx").bitwiseAND(F.lit(mask)).cast("int").alias("px"),
+            F.col("gy").bitwiseAND(F.lit(mask)).cast("int").alias("py"),
+        )
+        .groupBy("z", "tile_x", "tile_y", "px", "py")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def vectorize_raster(
+    raster: DataFrame, z: int, res_bits: int = 4, threshold: int = 1
+) -> DataFrame:
+    """Raster -> vector (the reverse direction): pixels with
+    ``n_points >= threshold`` become point features at the pixel
+    center, inverse-projected with EXACT integer arithmetic in
+    projected e7 space — lon is linear in the grid, and the y axis
+    stays mercator-projected e7 (``my_e7``), the working coordinate of
+    the tile pipeline, so the whole round trip is engine-portable
+    integer math.  (The float Gudermannian latitude inverse is a
+    presentation-layer concern on top of ``my_e7``.)
+
+    Pure projection — no shuffle beyond the threshold filter's scan.
+    """
+    level = z + res_bits
+    n = 1 << level
+    out = raster.filter(F.col("n_points") >= threshold).select(
+        "z", "tile_x", "tile_y", "px", "py", "n_points",
+        F.expr(
+            f"((2 * (shiftleft(tile_x, {res_bits}) + px) + 1) * "
+            f"{cells.WORLD}L) div {2 * n}L - {cells.HALF_WORLD}L"
+        ).alias("lon_e7"),
+        F.expr(
+            f"((2 * (shiftleft(tile_y, {res_bits}) + py) + 1) * "
+            f"{cells.WORLD}L) div {2 * n}L - {cells.HALF_WORLD}L"
+        ).alias("my_e7"),
+    )
+    return out

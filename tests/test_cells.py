@@ -126,3 +126,36 @@ def test_spark_cell_cols_match_numpy(spark):
     tx, ty = cells.mercator_tile(lon, lat, 12)
     assert np.array_equal(got["tx"].to_numpy(), tx)
     assert np.array_equal(got["ty"].to_numpy(), ty)
+
+
+def test_rasterize_vectorize_fixpoint(spark):
+    """Invariant: a vectorized pixel-center feature re-rasterizes into
+    exactly the pixel it came from (the integer inverse is exact)."""
+    from pyspark.sql import functions as F
+
+    from osmgraft import synth, tiles
+
+    pts = synth.geo_entities_df(spark, "/root/testdata/sf0.001")
+    raster = tiles.rasterize_points(pts, z=6, res_bits=4)
+    vec = tiles.vectorize_raster(raster, z=6, res_bits=4, threshold=1)
+    # re-rasterize the vector features in LINEAR grid space on both
+    # axes: lon_e7 is linear, and my_e7 is already projected, so the
+    # pixel index must come straight back out of axis binning
+    from osmgraft import cells as C
+
+    back = vec.select(
+        "tile_x", "tile_y", "px", "py",
+        C.axis_tile_col(F.col("lon_e7"), 10).alias("gx"),
+        C.axis_tile_col(F.col("my_e7"), 10).alias("gy"),
+    )
+    bad = back.filter(
+        (F.shiftright("gx", 4) != F.col("tile_x"))
+        | (F.shiftright("gy", 4) != F.col("tile_y"))
+        | (F.col("gx").bitwiseAND(F.lit(15)) != F.col("px"))
+        | (F.col("gy").bitwiseAND(F.lit(15)) != F.col("py"))
+    ).count()
+    assert bad == 0
+    assert vec.count() > 0
+    # conservation: total raster counts == total points
+    tot = raster.agg(F.sum("n_points")).collect()[0][0]
+    assert tot == pts.count()
