@@ -1358,6 +1358,35 @@ def tile_raster_roundtrip(spark, sf_dir):
 
 
 @_register(
+    "tile_raster_pyramid",
+    f"""
+    WITH pts AS ({_PTS}),
+    m AS (SELECT lon_e7, CAST({_MERC_SQL} AS BIGINT) AS my FROM pts),
+    g AS (SELECT GREATEST(0, LEAST(1023, ((lon_e7 + 1800000000) * 1024) // 3600000000)) AS gx,
+                 GREATEST(0, LEAST(1023, ((my + 1800000000) * 1024) // 3600000000)) AS gy
+          FROM m),
+    r AS (SELECT gx, gy, COUNT(*) AS n FROM g GROUP BY ALL),
+    a AS (SELECT z.z, r.gx >> (6 - z.z) AS gxp, r.gy >> (6 - z.z) AS gyp, r.n
+          FROM r, UNNEST(generate_series(4, 6)) z(z)),
+    s AS (SELECT z, gxp, gyp, SUM(n) AS n FROM a GROUP BY ALL)
+    SELECT CAST(z AS INT) AS z, gxp >> 4 AS tile_x, gyp >> 4 AS tile_y,
+           CAST(gxp & 15 AS INT) AS px, CAST(gyp & 15 AS INT) AS py,
+           CAST(n AS BIGINT) AS n_points
+    FROM s
+    """,
+)
+def tile_raster_pyramid(spark, sf_dir):
+    """Raster pyramid between zoom levels: the z6 sparse pixel raster
+    box-sum-downsampled to every level z4..z6 (parent pixel = child
+    global pixel >> 1 per step) via the two-shuffle ancestor-explode —
+    shuffle rows bounded by non-empty pixels x span, never feature
+    count."""
+    pts = synth.geo_entities_df(spark, sf_dir)
+    raster = tiles.rasterize_points(pts, z=6, res_bits=4)
+    return tiles.rollup_raster(raster, from_z=6, to_z=4, res_bits=4)
+
+
+@_register(
     "dedup_passages",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2222,6 +2251,9 @@ _GATE_TAIL = [
     "doc_fingerprint",         # md5-of-normalized-text mechanism is gate-covered
                                # by dedup_exact + first_write_wins; stays in the
                                # local parity replica
+    "orders_no_bigqty",        # anti-join shape is gate-exercised inside geo_knn's
+                               # pending loop and pytest-covered by the T4 cascade
+                               # tests; stays in the local parity replica
     "url_normalize",           # registered beyond the window by design: verified
                                # every round by the local parity replica
     "media_frames",            # beyond-window by design (media_pixels/media_audio

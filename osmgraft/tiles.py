@@ -337,3 +337,72 @@ def vectorize_raster(
         ).alias("my_e7"),
     )
     return out
+
+
+def rollup_raster(
+    raster: DataFrame, from_z: int, to_z: int, res_bits: int = 4
+) -> DataFrame:
+    """Raster pyramid (the north_rule's "between zoom-level tile
+    pyramids", raster form): aggregate the sparse pixel raster from
+    ``from_z`` up to every level down to ``to_z`` — the parent pixel is
+    the child's global pixel index shifted right once per zoom step,
+    i.e. a 2x2 box-sum downsample at each level.
+
+    Same two-shuffle ancestor-explode shape as :func:`rollup_tiles`:
+    shuffle rows = zoom span x non-empty pixels — bounded by the pixel
+    grid, never by the feature count.
+    Input/output rows: (z, tile_x, tile_y, px, py, n_points).
+    """
+    mask = (1 << res_bits) - 1
+    base = raster.filter(F.col("z") == from_z).select(
+        (F.shiftleft("tile_x", res_bits) + F.col("px")).alias("gx"),
+        (F.shiftleft("tile_y", res_bits) + F.col("py")).alias("gy"),
+        "n_points",
+    )
+    anc = base.select(
+        F.explode(F.sequence(F.lit(to_z), F.lit(from_z))).alias("z"),
+        "gx", "gy", "n_points",
+    )
+    rolled = (
+        anc.select(
+            F.col("z").cast("int").alias("z"),
+            F.expr(f"shiftright(gx, {from_z} - z)").alias("gx"),
+            F.expr(f"shiftright(gy, {from_z} - z)").alias("gy"),
+            "n_points",
+        )
+        .groupBy("z", "gx", "gy")
+        .agg(F.sum("n_points").alias("n_points"))
+    )
+    return rolled.select(
+        "z",
+        F.shiftright("gx", res_bits).alias("tile_x"),
+        F.shiftright("gy", res_bits).alias("tile_y"),
+        F.col("gx").bitwiseAND(F.lit(mask)).cast("int").alias("px"),
+        F.col("gy").bitwiseAND(F.lit(mask)).cast("int").alias("py"),
+        "n_points",
+    )
+
+
+def dense_tile_raster(raster: DataFrame, res_bits: int = 4) -> DataFrame:
+    """Presentation-layer reshape: sparse pixel rows -> one dense
+    row-major ``res*res`` count array per tile (the shape a renderer
+    uploads).  Kept OUT of the storage path by design — at planet
+    scale dense empty tiles are wasted bytes; this is a per-tile
+    groupBy over already-aggregated pixels."""
+    res = 1 << res_bits
+    idx = (F.col("py") * res + F.col("px")).cast("int")
+    return (
+        raster.groupBy("z", "tile_x", "tile_y")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(idx.alias("i"), F.col("n_points").alias("n")))
+                ),
+                F.expr(f"array_repeat(0L, {res * res})"),
+                lambda acc, s: F.transform(
+                    acc,
+                    lambda v, j: F.when(j == s["i"], s["n"]).otherwise(v),
+                ),
+            ).alias("pixels")
+        )
+    )

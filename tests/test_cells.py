@@ -159,3 +159,28 @@ def test_rasterize_vectorize_fixpoint(spark):
     # conservation: total raster counts == total points
     tot = raster.agg(F.sum("n_points")).collect()[0][0]
     assert tot == pts.count()
+
+
+def test_raster_pyramid_conservation_and_dense_reshape(spark):
+    from pyspark.sql import functions as F
+
+    from osmgraft import synth, tiles
+
+    pts = synth.geo_entities_df(spark, "/root/testdata/sf0.001")
+    n = pts.count()
+    raster = tiles.rasterize_points(pts, z=6, res_bits=4)
+    pyr = tiles.rollup_raster(raster, from_z=6, to_z=4, res_bits=4)
+    # every level conserves the total count
+    per_z = {r.z: r.s for r in pyr.groupBy("z").agg(F.sum("n_points").alias("s")).collect()}
+    assert per_z == {4: n, 5: n, 6: n}
+    # z6 of the pyramid is identical to the base raster
+    base = {(r.tile_x, r.tile_y, r.px, r.py, r.n_points) for r in raster.collect()}
+    z6 = {(r.tile_x, r.tile_y, r.px, r.py, r.n_points)
+          for r in pyr.filter(F.col("z") == 6).collect()}
+    assert base == z6
+    # dense reshape: array sums match sparse sums per tile
+    dense = tiles.dense_tile_raster(raster, res_bits=4)
+    row = dense.select(
+        F.sum(F.aggregate("pixels", F.lit(0).cast("long"), lambda a, x: a + x)).alias("s")
+    ).collect()[0]
+    assert row.s == n
