@@ -104,12 +104,14 @@ def main():
         if name not in QUERIES:
             continue
         best = None
-        for _ in range(2):  # best-of-2 (noisy host)
+        for i in range(3):  # pass 0 = untimed codegen/JIT warm-up,
+            # then best-of-2 (noisy host)
             t0 = time.time()
             QUERIES[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite").save()
             dt = time.time() - t0
-            best = dt if best is None or dt < best else best
+            if i > 0:
+                best = dt if best is None or dt < best else best
         per_query[name] = round(best, 3)
 
     result = {
