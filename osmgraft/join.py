@@ -383,7 +383,14 @@ def knn(
     # driver-synchronized jobs, so starting at r=1 wastes 2-3 rounds
     # whenever k neighbors need a wider disk.  Expected points in the
     # (2r+1)^2 disk = lam * (2r+1)^2 with lam = points per occupied
-    # cell; aim for ~4k candidates so round one usually certifies.
+    # cell; aim for ~36k candidates.  Certification needs the k-th
+    # neighbor inside the ring's INSCRIBED euclidean radius (area
+    # ratio pi/4) and clustered data concentrates candidates away
+    # from sparse queries, so a tight aim (4k) routinely fails to
+    # certify round one; measured on the sf0.1 corpus (3000 queries,
+    # k=5): aim 4k -> 3.56 s, 36k -> 1.75 s, 144k -> 1.80 s, 400k ->
+    # 1.98 s — a wide flat optimum past ~36k, so the extra candidate
+    # compute is cheap next to a wasted driver-synchronized round.
     # Correctness is radius-based certification — r0 only changes how
     # much of the disk the first annulus covers, never the guarantee —
     # so repeated callers can pass a precomputed r0 and skip the stats
@@ -398,7 +405,7 @@ def knn(
             ).alias("cells"),
         ).collect()[0]
         lam = max(float(stats["n"]) / max(int(stats["cells"]), 1), 1e-9)
-        r0 = int(((4.0 * k / lam) ** 0.5 - 1.0) / 2.0) + 1
+        r0 = int(((36.0 * k / lam) ** 0.5 - 1.0) / 2.0) + 1
     r_prev, r = -1, min(max(int(r0), 1), 64)
     w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), F.col("pid").asc())
     # carry = running top-k per still-pending query; each round joins
