@@ -21,6 +21,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "120"))
+
+# In-JVM pure-CPU probe: 50M codegen loop iterations per core, one
+# task wave — outside load shows up as straggler-inflated wall time.
+# Interleaved immediately before every timed sample, so each recorded
+# query time carries its own host-noise evidence at the DRIVER'S OWN
+# CADENCE (r3 verdict item 1: three queries regressed only in the
+# driver run while controls improved; per-sample probes make the
+# noise-vs-regression call mechanical — see BENCH/BASELINE.md,
+# "Reading the driver bench").  Quiet-window reference on this host
+# at 32 cores: ~0.45-0.6 s (PROBE_QUIET_SEC below).
+PROBE_ROWS_PER_CPU = 50_000_000
+PROBE_QUIET_SEC = 0.5
+
+
+def cpu_probe(spark):
+    """One timed probe run; returns wall seconds."""
+    t0 = time.time()
+    spark.range(0, PROBE_ROWS_PER_CPU * CPUS, 1, CPUS).selectExpr(
+        "sum(id * 3 + 1)"
+    ).collect()
+    return round(time.time() - t0, 3)
 # Pipeline variant tag: extraction engine x output projection.  r1/r2
 # historical numbers: r1 = arrow-full, r2 = arrow-pruned; r3+ default =
 # jvm-pruned (whole-stage-codegen extraction, url/mention never built).
@@ -81,9 +102,11 @@ def main():
     spark = get_spark(app="osmgraft-bench", cores=CPUS, shuffle_partitions=CPUS)
 
     n_pages, run_flagship = make_flagship_runner(spark)
+    cpu_probe(spark)  # untimed probe JIT warm-up
     run_flagship()  # untimed JIT/codegen warm-up (steady-state metric;
     # a long-lived executor amortizes first-use compilation to zero —
     # see bench_scaling.py for the rationale)
+    flagship_probes = [cpu_probe(spark)]
     t1, n_out = run_flagship()
 
     bench_queries = [
@@ -99,26 +122,40 @@ def main():
         "corpus_clean",
         "dedup_minhash_lsh",
     ]
-    per_query = {}
+    bench_queries = [n for n in bench_queries if n in QUERIES]
+
+    def run_query(name):
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save()
+        return round(time.time() - t0, 3)
+
+    # Sweep structure (not per-query best-of-N bursts): one untimed
+    # warm-up sweep over all queries, then 2 timed sweeps, each sample
+    # preceded by a cpu probe.  Consecutive samples of one query sat
+    # ~1 s apart under the old shape, so a single load burst poisoned
+    # every sample of that query while leaving its neighbors fast
+    # (exactly the r3 pricing_summary/geo_pip_join signature);
+    # sweep-spreading decorrelates the two samples by the full sweep
+    # length (~15 s) and the probes timestamp the load around each.
+    samples = {n: [] for n in bench_queries}
+    probes = {n: [] for n in bench_queries}
     for name in bench_queries:
-        if name not in QUERIES:
-            continue
-        best = None
-        for i in range(3):  # pass 0 = untimed codegen/JIT warm-up,
-            # then best-of-2 (noisy host)
-            t0 = time.time()
-            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite").save()
-            dt = time.time() - t0
-            if i > 0:
-                best = dt if best is None or dt < best else best
-        per_query[name] = round(best, 3)
+        run_query(name)  # codegen/JIT warm-up, untimed
+    for _ in range(2):
+        for name in bench_queries:
+            probes[name].append(cpu_probe(spark))
+            samples[name].append(run_query(name))
+    per_query = {n: min(s) for n, s in samples.items()}
 
     # two more flagship samples AFTER the query loop — temporally
     # decorrelated from t1, so best-of-3 survives a single load burst
+    flagship_probes.append(cpu_probe(spark))
     t2, _ = run_flagship()
+    flagship_probes.append(cpu_probe(spark))
     t3, _ = run_flagship()
-    flagship_sec = min(t1, t2, t3)
+    flagship_samples = [round(t, 3) for t in (t1, t2, t3)]
+    flagship_sec = min(flagship_samples)
 
     result = {
         "metric": "flagship extract+spatial-join+tile pipeline "
@@ -133,6 +170,16 @@ def main():
         "pipeline": PIPELINE_VARIANT,
         "n_pages": n_pages,
         "cpus": CPUS,
+        # host-noise evidence at driver cadence: every timed sample's
+        # immediately-preceding cpu-probe wall time.  Quiet reference
+        # ~PROBE_QUIET_SEC; a probe at 2-3x quiet alongside a slow
+        # query sample = host noise, not a plan regression (protocol:
+        # BENCH/BASELINE.md "Reading the driver bench").
+        "probe_quiet_sec": PROBE_QUIET_SEC,
+        "probes": probes,
+        "query_samples": {n: samples[n] for n in samples},
+        "flagship_samples": flagship_samples,
+        "flagship_probes": flagship_probes,
     }
     print(json.dumps(result))
 

@@ -103,6 +103,22 @@ def _resolve_columns(columns: tuple[str, ...] | None) -> list[str]:
     return [f.name for f in ENTITY_SCHEMA.fields if f.name in columns]
 
 
+def _check_passthrough(pages: DataFrame, out_fields: list[str]) -> None:
+    """Both engines fail identically (plan time, clear message) when a
+    requested passthrough column is missing from the input — previously
+    the jvm path null-filled ``url`` while the arrow path failed at
+    analysis, an equality-tested-engine divergence."""
+    missing = [
+        c for c in ("url", "doc_id") if c in out_fields and c not in pages.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"requested passthrough columns {missing} absent from input "
+            f"(input columns: {pages.columns}); project them in or drop "
+            "them from `columns`"
+        )
+
+
 def extract_entities(
     pages: DataFrame,
     columns: tuple[str, ...] | None = None,
@@ -144,6 +160,7 @@ def extract_entities_arrow(
     pushdown through the Arrow boundary.
     """
     out_fields = _resolve_columns(columns)
+    _check_passthrough(pages, out_fields)
     need_in = {"text"}
     if "url" in out_fields:
         need_in.add("url")
@@ -174,6 +191,7 @@ def extract_entities_jvm(
     passthrough input columns.
     """
     out_fields = _resolve_columns(columns)
+    _check_passthrough(pages, out_fields)
     derived = [c for c in _JVM_GROUP if c in out_fields]
     # the explode needs at least one array even for a pure-id projection
     zip_fields = derived or ["mention"]
@@ -192,12 +210,9 @@ def extract_entities_jvm(
     exprs = []
     for c in out_fields:
         if c == "url":
-            exprs.append(
-                F.col("url") if "url" in passthrough else F.lit(None).cast("string").alias("url")
-            )
+            exprs.append(F.col("url"))
         elif c == "doc_id":
-            e = F.col("doc_id") if "doc_id" in passthrough else F.lit(-1)
-            exprs.append(e.cast("long").alias("doc_id"))
+            exprs.append(F.col("doc_id").cast("long").alias("doc_id"))
         elif c == "ent_idx":
             exprs.append(F.col("ent_idx").cast("int").alias("ent_idx"))
         elif c == "name":

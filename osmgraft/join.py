@@ -430,14 +430,6 @@ def knn(
             "qid", "qcx", "qcy", "qx", "qy", "pid",
             (dx * dx + dy * dy).cast("decimal(38,0)").alias("dist2"),
         )
-        # a point lies in exactly one cell and each cell is visited once,
-        # so carry ∪ cand has no duplicate (qid, pid)
-        ranked = (
-            carry.unionByName(cand)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .localCheckpoint(eager=True)
-        )
         # certification: k-th distance within the ring guarantee radius
         # (any non-candidate point is > r * cell_w away on some axis).
         # The guarantee literal is shipped as a decimal STRING: at
@@ -445,18 +437,31 @@ def knn(
         # cannot cross py4j as a long.
         g2 = (int(r) * int(cell_w)) ** 2
         g2_lit = F.lit(str(g2)).cast("decimal(38,0)")
-        done_ids = (
-            ranked.groupBy("qid")
-            .agg(F.count("*").alias("n"), F.max("dist2").alias("kth"))
-            .filter((F.col("n") >= k) & (F.col("kth") <= g2_lit))
-            .select("qid")
+        wq = Window.partitionBy("qid")
+        # a point lies in exactly one cell and each cell is visited once,
+        # so carry ∪ cand has no duplicate (qid, pid).  The certification
+        # aggregate (per-qid survivor count + k-th distance) is FUSED
+        # into this same pass as a second window over the identical
+        # partitioning — the rows are already qid-partitioned for the
+        # rank window, so no extra exchange and no separate
+        # groupBy-agg job per round (the former done_ids plan).
+        ranked = (
+            carry.unionByName(cand)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn(
+                "done",
+                (F.count("*").over(wq) >= k)
+                & (F.max("dist2").over(wq) <= g2_lit),
+            )
+            .localCheckpoint(eager=True)
         )
-        finished = ranked.join(F.broadcast(done_ids), "qid", "left_semi")
-        results = results.unionByName(finished)
+        results = results.unionByName(ranked.filter("done").drop("done"))
+        done_ids = ranked.filter("done").select("qid").distinct()
         pending = pending.join(
             F.broadcast(done_ids), "qid", "left_anti"
         ).localCheckpoint(eager=True)
-        carry = ranked.join(F.broadcast(done_ids), "qid", "left_anti").drop("rank")
+        carry = ranked.filter(~F.col("done")).drop("rank", "done")
         n_pending = pending.count()
         r_prev, r = r, r * 2
 

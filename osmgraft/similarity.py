@@ -226,13 +226,17 @@ def _nearest_centroid(
 
 
 def ivf_train_assign(
-    df: DataFrame, n_centroids: int = 8, iters: int = 1
+    df: DataFrame, n_centroids: int = 8, iters: int = 1, seed: str = "first"
 ) -> DataFrame:
     """IVF with a *trained* codebook: ``iters`` deterministic Lloyd
     iterations over the quantized vectors, then the final assignment.
 
-    Seed = first ``n_centroids`` vectors by vec_id (the seed-free
-    deterministic choice); update = element-wise
+    ``seed="first"`` = first ``n_centroids`` vectors by vec_id (the
+    seed-free deterministic choice; degenerates when the corpus is
+    sorted/clustered by vec_id); ``seed="kmeans||"`` = the
+    deterministic scalable-k-means++ oversampling seed
+    (:func:`kmeans_parallel_seed` — distance-spread centers, the
+    production default for clustered corpora); update = element-wise
     ``floor(sum(component) / count)`` per centroid — exact in both
     engines (sums stay under 2^53, floor-of-exact-double division);
     a centroid that attracts no vectors keeps its previous position.
@@ -241,9 +245,14 @@ def ivf_train_assign(
     ``n_centroids * dim`` rows, independent of corpus size.
     Output: (vec_id, centroid_id)."""
     q = quantized(df).select("vec_id", "qvec")
-    cents = q.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec")
-    )
+    if seed == "kmeans||":
+        cents = kmeans_parallel_seed(df, n_centroids)
+    elif seed == "first":
+        cents = q.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec")
+        )
+    else:
+        raise ValueError(f"unknown seed strategy {seed!r}")
     for _ in range(iters):
         assigned = _nearest_centroid(q, cents, out_vec="qv")
         comp = assigned.select(
@@ -273,6 +282,114 @@ def ivf_train_assign(
             )
         )
     return _nearest_centroid(q, cents)
+
+
+def _sqdist_to_cvec():
+    """Exact squared euclidean distance qvec<->cvec in quantized units
+    (bigint; |component| <= ~1e3 * DIM keeps the sum far under 2^53)."""
+    return F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_parallel_seed(
+    df: DataFrame, n_centroids: int = 8, l: int | None = None, rounds: int = 2
+) -> DataFrame:
+    """Deterministic k-means|| ("scalable k-means++", Bahmani et al.,
+    VLDB 2012) seeding for the IVF codebook, replacing first-n-vectors
+    seeding — which degenerates on corpora sorted or clustered by id
+    (all n seeds can land in one cluster, collapsing the index into a
+    single hot bucket).
+
+    Determinism substitutions (bit-identical in both engines, no RNG):
+
+    * the paper's per-point sampling with probability ``l*d2/phi``
+      becomes "take the TOP-``l`` points by (d2 DESC, vec_id ASC)"
+      each round — the same oversample-far-points pressure;
+    * the final weighted reclustering of the candidate set becomes
+      "keep the ``n_centroids`` candidates with the largest attraction
+      counts" (ties -> lowest vec_id);
+    * the initial center is the vector with the smallest
+      ``md5(vec_id)`` — a deterministic uniform draw that is NOT the
+      lowest id (so sorted corpora get no special treatment).
+
+    Scale shape: the center set never exceeds ``1 + l*rounds`` rows, so
+    every distance pass is a broadcast nearest-neighbor scan; top-l is
+    TakeOrderedAndProject (no global sort shuffle); attraction weights
+    are one partial-agg groupBy.  Total: ``rounds + 2`` passes over the
+    corpus, each embarrassingly parallel.
+
+    Output: (cid, cvec), cid = 0..n_centroids-1 in weight order.
+    """
+    if l is None:
+        l = 2 * n_centroids
+    q = quantized(df).select("vec_id", "qvec")
+    d2 = _sqdist_to_cvec()
+    cents = (
+        q.withColumn("hk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec"))
+    )
+    for _ in range(rounds):
+        dmin = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("d2"))
+            .join(q, "vec_id")
+        )
+        # d2 > 0 keeps current centers (and exact duplicates of them)
+        # from re-entering, so candidate cids stay unique
+        cand = (
+            dmin.filter(F.col("d2") > 0)
+            .orderBy(F.col("d2").desc(), F.col("vec_id").asc())
+            .limit(l)
+            .select(F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec"))
+        )
+        cents = cents.unionByName(cand)
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    weights = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .groupBy("cid")
+        .agg(F.count("*").alias("weight"))
+    )
+    # single-partition window is fine here: <= 1 + l*rounds rows
+    wf = Window.orderBy(F.col("weight").desc(), F.col("cid").asc())
+    return (
+        cents.join(weights, "cid", "left")
+        .withColumn("weight", F.coalesce("weight", F.lit(0)))
+        .withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= n_centroids)
+        .select((F.col("rk") - 1).cast("long").alias("cid"), "cvec")
+    )
+
+
+def kmeans_parallel_assign(
+    df: DataFrame, n_centroids: int = 8, l: int | None = None, rounds: int = 2
+) -> DataFrame:
+    """Nearest-centroid assignment under the k-means|| codebook by
+    exact quantized squared euclidean distance (ties -> lowest cid) —
+    one broadcast pass.  Output: (vec_id, centroid_id)."""
+    cents = kmeans_parallel_seed(df, n_centroids, l, rounds)
+    q = quantized(df).select("vec_id", "qvec")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", _sqdist_to_cvec())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("centroid_id"))
+    )
 
 
 def ivf_topk_multiprobe(

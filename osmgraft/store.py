@@ -36,7 +36,16 @@ def _footer_lineage(path: str) -> dict[str, int]:
     from the Parquet FOOTERS only (pyarrow metadata) — no second Spark
     scan of data that was in memory a moment ago.  One part file = one
     write task = one lineage partition; the key is the task index from
-    the ``part-NNNNN-`` file name."""
+    the ``part-NNNNN-`` file name.
+
+    Assumptions (manifest lineage format v2): the table root is a
+    LOCAL-filesystem path (``os.listdir``; an object-store root would
+    need the Hadoop FS API instead) and part files follow the default
+    Spark committer naming.  v2 keys are WRITER task indexes — v1
+    (pre-footer) keys were read-back ``spark_partition_id`` values;
+    the two agree for a fresh single-job write but are not defined to
+    be interchangeable.  Nothing consumes the keys today; consumers
+    must treat them as opaque lineage labels."""
     import pyarrow.parquet as pq
 
     lineage: dict[str, int] = {}

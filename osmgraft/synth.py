@@ -131,18 +131,46 @@ def points_sql(doc_table: str = "documents") -> str:
     """
 
 
-def segments_sql_values() -> str:
+def boundaries_many(n: int = 100) -> list[Polygon]:
+    """A deterministic ``n``-polygon boundary set (ids 101..100+n) —
+    the planet-scale shape that exercises the distributed
+    (``mapInPandas``) cover builder in :func:`osmgraft.join.spatial_join`
+    (the >64-polygon branch).  Small axis-aligned boxes jittered around
+    the three urban centers (so the skewed 80% of points actually hit
+    them), box size varying so covers span 1..many cells.  Pure int64
+    arithmetic; no RNG."""
+    polys = []
+    for i in range(n):
+        cx, cy = CENTERS[i % 3]
+        cx += ((i * 48271) % 41 - 20) * 500_000
+        cy += ((i * 69621) % 41 - 20) * 500_000
+        hw = 200_000 + (i % 7) * 150_000
+        hh = 200_000 + (i % 5) * 150_000
+        polys.append(
+            Polygon(101 + i, f"box_{i}", [
+                Ring([cx - hw, cx + hw, cx + hw, cx - hw],
+                     [cy - hh, cy - hh, cy + hh, cy + hh]),
+            ])
+        )
+    return polys
+
+
+def segments_sql_values(polys: list[Polygon] | None = None) -> str:
     """VALUES list of every boundary segment (non-empty polygons) as
     (boundary_id, p0x, p0y, p1x, p1y) — shared by oracles."""
     rows = []
-    for poly in boundaries():
+    for poly in (boundaries() if polys is None else polys):
         for (p0x, p0y, p1x, p1y) in poly.segment_rows():
             rows.append(f"({poly.boundary_id}, {p0x}, {p0y}, {p1x}, {p1y})")
     return ",\n".join(rows)
 
 
-def empty_boundary_ids() -> list[int]:
-    return [p.boundary_id for p in boundaries() if p.n_segments == 0]
+def empty_boundary_ids(polys: list[Polygon] | None = None) -> list[int]:
+    return [
+        p.boundary_id
+        for p in (boundaries() if polys is None else polys)
+        if p.n_segments == 0
+    ]
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

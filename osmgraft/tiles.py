@@ -391,18 +391,26 @@ def dense_tile_raster(raster: DataFrame, res_bits: int = 4) -> DataFrame:
     groupBy over already-aggregated pixels."""
     res = 1 << res_bits
     idx = (F.col("py") * res + F.col("px")).cast("int")
+    # px-index -> count map per tile, then one O(res^2) lookup pass —
+    # NOT a fold that rewrites the whole array per pixel (that was
+    # O(res^2) work per non-empty pixel; r3 verdict item 6).  Input
+    # rows are already aggregated per (z, tile, px, py), so map keys
+    # are unique by construction (map_from_entries throws otherwise).
+    m = F.map_from_entries(
+        F.collect_list(F.struct(idx.alias("i"), F.col("n_points").alias("n")))
+    )
     return (
         raster.groupBy("z", "tile_x", "tile_y")
-        .agg(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct(idx.alias("i"), F.col("n_points").alias("n")))
+        .agg(m.alias("m"))
+        .select(
+            "z",
+            "tile_x",
+            "tile_y",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(res * res - 1)),
+                lambda j: F.coalesce(
+                    F.element_at(F.col("m"), j), F.lit(0).cast("long")
                 ),
-                F.expr(f"array_repeat(0L, {res * res})"),
-                lambda acc, s: F.transform(
-                    acc,
-                    lambda v, j: F.when(j == s["i"], s["n"]).otherwise(v),
-                ),
-            ).alias("pixels")
+            ).alias("pixels"),
         )
     )

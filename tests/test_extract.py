@@ -107,3 +107,16 @@ def test_projection_pushdown_rejects_unknown_column(spark, sf_dir):
     pages = synth.pages_df(spark, sf_dir)
     with _pytest.raises(ValueError):
         extract_entities(pages, columns=("doc_id", "nope"))
+
+
+def test_missing_passthrough_column_fails_identically_in_both_engines(spark):
+    """r3 advice item 4: requesting `url` when the input has no url
+    column used to null-fill on the jvm path but fail at analysis on
+    the arrow path.  Both engines now raise the same ValueError at
+    plan time."""
+    pages = spark.createDataFrame(
+        [(1, "no mentions here")], schema="doc_id LONG, text STRING"
+    )
+    for engine in ("jvm", "arrow"):
+        with pytest.raises(ValueError, match="passthrough"):
+            extract_entities(pages, columns=("url", "doc_id"), engine=engine)

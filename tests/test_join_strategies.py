@@ -112,3 +112,35 @@ def test_distributed_cover_matches_driver_cover(spark):
             ).collect()
         }
         assert a == b and a
+
+
+def test_knn_certification_fused_job_count(spark, sf_dir):
+    """r3 verdict item 3: the per-round certification aggregate
+    (per-qid survivor count + k-th distance) is fused into the ranking
+    window pass as a second window over the same qid partitioning —
+    no separate groupBy-certify plan per ring round.  Measured on this
+    exact call (sf0.001, 150 queries, k=5): 32 driver-synchronized
+    jobs before the fusion, 26 after.  Bound at 28 so a reintroduced
+    per-round certification job fails loudly without being brittle to
+    minor Spark job accounting changes."""
+    from osmgraft.join import knn
+
+    sc = spark.sparkContext
+    sc.setJobGroup("knn-fused-probe", "kNN job-count regression probe")
+    try:
+        pts = synth.geo_entities_df(spark, sf_dir).select(
+            (F.col("doc_id") * 10 + F.col("ent_idx")).alias("pid"),
+            "lon_e7",
+            "lat_e7",
+        )
+        qs = pts.filter(F.col("pid") < 300).select(
+            F.col("pid").alias("qid"), "lon_e7", "lat_e7"
+        )
+        out = knn(spark, qs, pts, k=5)
+        assert out.count() == 150
+        jobs = sc.statusTracker().getJobIdsForGroup("knn-fused-probe")
+        assert len(jobs) <= 28, (
+            f"kNN ran {len(jobs)} jobs — certification fusion regressed?"
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)

@@ -164,3 +164,75 @@ def test_ivf_train_multi_iteration_valid_and_converging(spark, sf_dir):
     again = {(r.vec_id, r.centroid_id) for r in
              similarity.ivf_train_assign(e, n_centroids=8, iters=2).collect()}
     assert {(r.vec_id, r.centroid_id) for r in rows} == again
+
+
+def _clustered_emb(spark, n_clusters=4, per_cluster=50, dim=64):
+    """A corpus SORTED BY CLUSTER (vec_id order == cluster order) — the
+    degenerate input for first-n seeding: the first n vectors all come
+    from cluster 0.  Deterministic integer-lattice vectors with small
+    per-vector jitter; floats exact at this magnitude."""
+    rows = []
+    for c in range(n_clusters):
+        center = [float(((c * 7 + d * 13) % 11) - 5) for d in range(dim)]
+        for j in range(per_cluster):
+            vec_id = c * per_cluster + j
+            jit = [((vec_id * 31 + d * 17) % 5 - 2) * 0.01 for d in range(dim)]
+            rows.append((vec_id, [center[d] + jit[d] for d in range(dim)]))
+    return spark.createDataFrame(
+        rows, schema="vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+
+
+def test_kmeans_parallel_seed_beats_first_n_on_sorted_corpus(spark):
+    """r3 verdict item 4: first-n seeding degenerates on corpora
+    sorted/clustered by id — all seeds land inside cluster 0, so most
+    of the corpus piles into one hot bucket (here: 150 of 200 vectors,
+    2 effective buckets) and IVF candidate generation loses both its
+    pruning power and its balance.  The deterministic k-means|| seed
+    spreads centers by distance; no bucket may dominate.  (Same-bucket
+    top-k recall does NOT discriminate here: near-identical neighbors
+    co-locate under any seeding — imbalance is the failure mode.)"""
+    from collections import Counter
+
+    from osmgraft.similarity import ivf_assign, kmeans_parallel_assign
+
+    emb = _clustered_emb(spark).cache()  # 4 clusters x 50, sorted
+    n = emb.count()
+
+    def dist(assign_df):
+        return Counter(r.centroid_id for r in assign_df.collect())
+
+    d_first = dist(ivf_assign(emb, n_centroids=4))
+    d_kmpp = dist(kmeans_parallel_assign(emb, n_centroids=4))
+    assert sum(d_first.values()) == sum(d_kmpp.values()) == n
+    # the degenerate baseline really is degenerate on this corpus
+    assert max(d_first.values()) >= 0.7 * n
+    # k-means||: no hot bucket, strictly more effective buckets
+    assert max(d_kmpp.values()) <= 0.55 * n, dict(d_kmpp)
+    assert len(d_kmpp) > len(d_first), (dict(d_kmpp), dict(d_first))
+
+
+def test_kmeans_parallel_seed_is_deterministic_and_sized(spark):
+    from osmgraft.similarity import kmeans_parallel_seed
+
+    emb = _clustered_emb(spark, n_clusters=3, per_cluster=20)
+    a = [
+        (r.cid, tuple(r.cvec))
+        for r in kmeans_parallel_seed(emb, n_centroids=6).collect()
+    ]
+    b = [
+        (r.cid, tuple(r.cvec))
+        for r in kmeans_parallel_seed(emb, n_centroids=6).collect()
+    ]
+    assert sorted(a) == sorted(b)
+    assert len(a) == 6 and len({cid for cid, _ in a}) == 6
+
+
+def test_ivf_train_assign_accepts_kmeanspp_seed(spark):
+    from osmgraft.similarity import ivf_train_assign
+
+    emb = _clustered_emb(spark, n_clusters=3, per_cluster=15)
+    out = ivf_train_assign(emb, n_centroids=3, iters=1, seed="kmeans||")
+    got = {r.vec_id: r.centroid_id for r in out.collect()}
+    assert len(got) == 45
+    assert set(got.values()) <= {0, 1, 2}
