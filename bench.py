@@ -30,9 +30,12 @@ REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "120"))
 # driver run while controls improved; per-sample probes make the
 # noise-vs-regression call mechanical — see BENCH/BASELINE.md,
 # "Reading the driver bench").  Quiet-window reference on this host
-# at 32 cores: ~0.45-0.6 s (PROBE_QUIET_SEC below).
+# at 32 cores: ~0.19-0.21 s (PROBE_QUIET_SEC below; measured across a
+# full quiet bench run — an earlier 0.5 s estimate was itself taken
+# while a test suite ran concurrently, a live demo of why probes must
+# be interleaved with the thing they calibrate).
 PROBE_ROWS_PER_CPU = 50_000_000
-PROBE_QUIET_SEC = 0.5
+PROBE_QUIET_SEC = 0.2
 
 
 def cpu_probe(spark):
@@ -67,6 +70,13 @@ def make_flagship_runner(spark):
     pages = synth.pages_df(spark, SF_DIR, replicate=REPLICATE).cache()
     n_pages = pages.count()  # materialize input before the clock starts
     warm_python_workers(spark)  # worker-pool spawn is a cluster one-time cost
+    # settle the heap before any clock starts: cache construction just
+    # churned several GB through the young gen, and letting G1's mixed
+    # collections run during the first timed samples steals GC-thread
+    # cores from them (both r4 quiet runs show an elevated first ~2
+    # minutes).  A long-lived executor does not carry cache-build
+    # garbage into steady state, so collect it up front.
+    spark.sparkContext._jvm.System.gc()
 
     def run():
         t0 = time.time()
@@ -138,22 +148,35 @@ def main():
     # (exactly the r3 pricing_summary/geo_pip_join signature);
     # sweep-spreading decorrelates the two samples by the full sweep
     # length (~15 s) and the probes timestamp the load around each.
+    # chronological (label, sec) log of every probe — within a sweep,
+    # query i's pre-probe doubles as query i-1's post-probe, and the
+    # sweep-end probe closes the bracket, so every sample is flanked
+    # by probes on both sides in the record
+    probe_log = [("pre_flagship_1", flagship_probes[0])]
     samples = {n: [] for n in bench_queries}
     probes = {n: [] for n in bench_queries}
     for name in bench_queries:
         run_query(name)  # codegen/JIT warm-up, untimed
-    for _ in range(2):
+    for sweep in range(2):
         for name in bench_queries:
-            probes[name].append(cpu_probe(spark))
+            p = cpu_probe(spark)
+            probe_log.append((f"pre_{name}_{sweep + 1}", p))
+            probes[name].append(p)
             samples[name].append(run_query(name))
+        p = cpu_probe(spark)
+        probe_log.append((f"sweep_{sweep + 1}_end", p))
     per_query = {n: min(s) for n, s in samples.items()}
 
     # two more flagship samples AFTER the query loop — temporally
     # decorrelated from t1, so best-of-3 survives a single load burst
     flagship_probes.append(cpu_probe(spark))
+    probe_log.append(("pre_flagship_2", flagship_probes[-1]))
     t2, _ = run_flagship()
     flagship_probes.append(cpu_probe(spark))
+    probe_log.append(("pre_flagship_3", flagship_probes[-1]))
     t3, _ = run_flagship()
+    flagship_probes.append(cpu_probe(spark))
+    probe_log.append(("post_flagship_3", flagship_probes[-1]))
     flagship_samples = [round(t, 3) for t in (t1, t2, t3)]
     flagship_sec = min(flagship_samples)
 
@@ -180,6 +203,7 @@ def main():
         "query_samples": {n: samples[n] for n in samples},
         "flagship_samples": flagship_samples,
         "flagship_probes": flagship_probes,
+        "probe_log": probe_log,
     }
     print(json.dumps(result))
 
