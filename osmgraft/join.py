@@ -478,4 +478,14 @@ def knn(
         rest = rest.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
         results = results.unionByName(rest)
 
+    # cache lifecycle ends HERE, not at session end: the ring loop (the
+    # caches' only repeated consumers) has executed, and every returned
+    # row derives from localCheckpoint blocks (or, for the rare brute
+    # fallback, recomputes the narrow pt scan once).  Leaving qt/pt
+    # cached leaked two storage entries per call into the session —
+    # on a long-lived executor that is memory a 100 TB job never gets
+    # back, and in the bench it left GC debris for whatever query ran
+    # next.
+    qt.unpersist()
+    pt.unpersist()
     return results.select("qid", "pid", "rank", "dist2")
