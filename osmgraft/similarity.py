@@ -325,51 +325,70 @@ def kmeans_parallel_seed(
     """
     if l is None:
         l = 2 * n_centroids
+    spark = df.sparkSession
     q = quantized(df).select("vec_id", "qvec")
     d2 = _sqdist_to_cvec()
-    cents = (
+    _schema = "cid LONG, cvec ARRAY<BIGINT>"
+
+    # The center set is MATERIALIZED DRIVER-SIDE between rounds (it
+    # never exceeds 1 + l*rounds rows of dim bigints — k-means
+    # codebooks are driver-resident in every production ANN system).
+    # Kept fully declarative, every broadcast of the center set would
+    # re-derive all prior rounds' corpus passes inside its own plan;
+    # with literal centers each corpus pass executes exactly once per
+    # round — the 100 TB shape.  Values are identical either way
+    # (same arithmetic, same tie rules; oracle-checked).
+    def cents_df(rows):
+        return spark.createDataFrame(
+            [(int(c), [int(x) for x in v]) for c, v in rows], schema=_schema
+        )
+
+    first = (
         q.withColumn("hk", F.md5(F.col("vec_id").cast("string")))
         .orderBy("hk", "vec_id")
         .limit(1)
-        .select(F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec"))
+        .select("vec_id", "qvec")
+        .collect()
     )
+    cents_rows = [(r.vec_id, r.qvec) for r in first]
     for _ in range(rounds):
-        dmin = (
+        cents = cents_df(cents_rows)
+        # d2 > 0 keeps current centers (and exact duplicates of them)
+        # from re-entering, so candidate cids stay unique
+        cand = (
             q.crossJoin(F.broadcast(cents))
             .withColumn("d2", d2)
             .groupBy("vec_id")
             .agg(F.min("d2").alias("d2"))
             .join(q, "vec_id")
-        )
-        # d2 > 0 keeps current centers (and exact duplicates of them)
-        # from re-entering, so candidate cids stay unique
-        cand = (
-            dmin.filter(F.col("d2") > 0)
+            .filter(F.col("d2") > 0)
             .orderBy(F.col("d2").desc(), F.col("vec_id").asc())
             .limit(l)
-            .select(F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec"))
+            .select("vec_id", "qvec")
+            .collect()
         )
-        cents = cents.unionByName(cand)
+        cents_rows += [(r.vec_id, r.qvec) for r in cand]
+    cents = cents_df(cents_rows)
     wv = Window.partitionBy("vec_id").orderBy(
         F.col("d2").asc(), F.col("cid").asc()
     )
-    weights = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .groupBy("cid")
-        .agg(F.count("*").alias("weight"))
-    )
-    # single-partition window is fine here: <= 1 + l*rounds rows
-    wf = Window.orderBy(F.col("weight").desc(), F.col("cid").asc())
-    return (
-        cents.join(weights, "cid", "left")
-        .withColumn("weight", F.coalesce("weight", F.lit(0)))
-        .withColumn("rk", F.row_number().over(wf))
-        .filter(F.col("rk") <= n_centroids)
-        .select((F.col("rk") - 1).cast("long").alias("cid"), "cvec")
-    )
+    weights = {
+        r.cid: r.weight
+        for r in (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .groupBy("cid")
+            .agg(F.count("*").alias("weight"))
+            .collect()
+        )
+    }
+    # final selection over <= 1 + l*rounds candidates: plain python
+    final = sorted(
+        cents_rows, key=lambda cv: (-weights.get(cv[0], 0), cv[0])
+    )[:n_centroids]
+    return cents_df([(i, v) for i, (_, v) in enumerate(final)])
 
 
 def kmeans_parallel_assign(
