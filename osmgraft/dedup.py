@@ -23,7 +23,7 @@ groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 TOKEN_SPLIT = " "
 
@@ -32,8 +32,26 @@ def tokens_col(text: str = "text") -> "F.Column":
     return F.split(F.col(text), TOKEN_SPLIT)
 
 
-def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+def shingles(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    ``max_df`` (document-frequency cap / stop-shingle filter): shingles
+    occurring in MORE than ``max_df`` docs are dropped entirely — from
+    the pair join AND from the per-doc set sizes, i.e. capped shingles
+    simply do not exist for any downstream consumer.  This is the
+    standard boilerplate guard of production near-dup pipelines: a
+    nav-bar / cookie-banner shingle shared by m docs otherwise expands
+    to m^2/2 join rows in the pair join (m reaches millions on a real
+    crawl — the one quadratic-blowup shape at 10^12 docs).  Sizing: the
+    cap bounds per-shingle join fan-out at max_df^2/2 rows, and the
+    number of dropped shingles is at most total_occurrences/max_df; a
+    few thousand is a reasonable crawl-scale setting (dup clusters are
+    rarely wider than that, boilerplate is far wider).  ``None``
+    disables the cap (exact semantics, small corpora only).
+    """
     # Guard: docs with < n tokens have no shingles.  Without the guard,
     # sequence(0, negative) yields a DESCENDING sequence and slice(start=0)
     # throws INVALID_PARAMETER_VALUE.START at runtime on short docs (the
@@ -44,10 +62,27 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
         f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))) "
         f"ELSE CAST(array() AS array<string>) END"
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()
     )
+    if max_df is not None:
+        # Single-pass df filter: a COUNT window over shingle — the
+        # shingle set is computed ONCE (a hot-set anti-join would
+        # compute it twice, or force a corpus-sized cache of it), and
+        # the output comes back hash-partitioned on ``shingle``, the
+        # exact partitioning the downstream pair equi-join needs.
+        # Skew safety: WindowExec buffers one shingle's rows at a time
+        # and spills to disk, so a 10M-doc boilerplate shingle is slow
+        # disk I/O for that one key, never an OOM — and those are
+        # precisely the rows the filter then drops.
+        w = Window.partitionBy("shingle")
+        out = (
+            out.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    return out
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -57,12 +92,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, n: int = 3, threshold: float = 0.05
+    df: DataFrame, n: int = 3, threshold: float = 0.05,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets for every pair of
-    docs sharing >= 1 shingle.  Output: (doc_a, doc_b, n_inter, n_union,
-    jaccard) with doc_a < doc_b."""
-    sh = shingles(df, n).cache()
+    docs sharing >= 1 (non-stop) shingle.  Output: (doc_a, doc_b,
+    n_inter, n_union, jaccard) with doc_a < doc_b.
+
+    ``max_df``: stop-shingle document-frequency cap (see
+    :func:`shingles`) — the capped shingles are excluded from the
+    intersection AND the per-doc sizes, so ``jaccard`` is the exact
+    Jaccard of the *capped* shingle sets.  Always set this on a real
+    crawl corpus; the unbounded default is exact-small-corpus semantics.
+
+    Cache lifecycle: the shingle set feeds three consumers (sizes + the
+    two pair-join sides), so it is cached, eagerly populated (a lazily
+    cached multi-branch input races and recomputes — observed as the
+    round-2/3 flagship variance), consumed by an eager materialization
+    of the result, and unpersisted BEFORE return — its useful life ends
+    here, and a leaked cache entry is executor memory a 100 TB job
+    never gets back (same lifecycle class as the round-4 knn fix).
+    """
+    sh = shingles(df, n, max_df=max_df).cache()
+    sh.count()  # eager populate; a lazily cached multi-branch input races
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.withColumnRenamed("id", "doc_a")
     b = sh.withColumnRenamed("id", "doc_b")
@@ -85,16 +137,23 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
     )
+    out = out.localCheckpoint(eager=True)  # pair set: bounded by the cap
+    sh.unpersist()
     return out
 
 
 def minhash_signatures(
-    df: DataFrame, k: int = 8, n: int = 3
+    df: DataFrame, k: int = 8, n: int = 3, max_df: int | None = None
 ) -> DataFrame:
     """(id, seed, minhash): k md5-minwise hashes per doc over its
     shingle set — min is lexicographic over fixed-width hex, identical
-    in any engine."""
-    sh = shingles(df, n)
+    in any engine.  ``max_df``: stop-shingle cap (see :func:`shingles`);
+    signatures are minwise over the *capped* shingle set."""
+    return _signatures_from(shingles(df, n, max_df=max_df), k)
+
+
+def _signatures_from(sh: DataFrame, k: int) -> DataFrame:
+    """Signatures from an (id, shingle) set."""
     seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
     return (
         sh.select("id", "shingle", seeds)
@@ -112,12 +171,37 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, k: int = 8, band_size: int = 2, n: int = 3
+    df: DataFrame, k: int = 8, band_size: int = 2, n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing >= 1 LSH band, with their
     estimated similarity (fraction of matching minhashes).
-    Output: (doc_a, doc_b, n_match, est_sim)."""
-    sig = minhash_signatures(df, k, n).cache()
+    Output: (doc_a, doc_b, n_match, est_sim).
+
+    ``max_df``: stop-shingle cap applied to the shingle set the
+    signatures are computed over (see :func:`shingles`) — without it a
+    boilerplate shingle both inflates the signature build shuffle and
+    makes every boilerplate-dominated doc collide in the bands.
+
+    Banding math (k minhashes, bands of ``band_size``): a pair with
+    true Jaccard s collides with probability 1-(1-s^band_size)^(k/band_size);
+    the band KEY here is the full (seed:minhash) concatenation, so a
+    band collision is genuine signature agreement, never hash aliasing.
+    Candidate volume is driven by the dup structure itself (docs
+    agreeing on band_size consecutive minwise hashes), not by a fixed
+    bucket count — there is no 2^width ceiling to outgrow, so the knob
+    to raise on a bigger corpus is ``band_size`` (stricter bands =>
+    fewer accidental candidates), not a bucket width.
+
+    Cache lifecycle: signatures feed three consumers (bands + both
+    verify sides) — cached, eagerly populated, consumed by the eager
+    result materialization, unpersisted before return (same lifecycle
+    as :func:`ngram_jaccard_pairs`).  The shingle set feeds only the
+    signature build (one consumer — the window-based cap computes it
+    in a single pass), so it is NOT cached.
+    """
+    sig = _signatures_from(shingles(df, n, max_df=max_df), k).cache()
+    sig.count()  # eager populate; 3 consumers below must not race
     bands = (
         sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("id", "band")
@@ -137,7 +221,7 @@ def minhash_lsh_pairs(
                     F.col("minhash").alias("ma"))
     sb = sig.select(F.col("id").alias("doc_b"), "seed",
                     F.col("minhash").alias("mb"))
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "seed"])
         .groupBy("doc_a", "doc_b")
@@ -149,6 +233,9 @@ def minhash_lsh_pairs(
         .withColumn("est_sim", F.col("n_match").cast("double") / k)
         .select("doc_a", "doc_b", "n_match", "est_sim")
     )
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def passage_dedup(df: DataFrame, chunk: int = 8) -> DataFrame:
@@ -357,39 +444,43 @@ def simhash(df: DataFrame, bits: int = 64) -> DataFrame:
     fingerprints give only 65k distinct buckets — useless at billions
     of docs.  Pure string/arithmetic ops — engine-portable."""
     assert 1 <= bits <= 64
+    # One (doc, token) row per distinct token; the 64 bit votes are 64
+    # conditional-sum AGGREGATE COLUMNS of a single groupBy(doc_id) —
+    # NOT a 64x row explode (which multiplied the vote shuffle by the
+    # fingerprint width; partial agg absorbed most but not all of it).
+    # Each row carries its md5 pre-split into 16 hex-digit ints so the
+    # 64 bit extractions are an array index + shift, all inside one
+    # whole-stage-codegen span.
     tok = (
         df.select("doc_id", F.explode(tokens_col()).alias("tok"))
         .distinct()
         .withColumn("h", F.md5("tok"))
+        .withColumn(
+            "d",
+            F.expr(
+                "transform(sequence(1, 16), "
+                "p -> instr('0123456789abcdef', substring(h, p, 1)) - 1)"
+            ),
+        )
     )
-    votes = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        "h",
-    ).withColumn(
-        "bit",
-        F.expr(
-            "shiftright(CAST(instr('0123456789abcdef', "
-            "substring(h, CAST(j / 4 AS INT) + 1, 1)) - 1 AS INT), "
-            "3 - CAST(j % 4 AS INT)) & 1"
-        ),
-    )
-    set_bit = F.col("v") > 0
-    lo = F.sum(
-        F.when(set_bit & (F.col("j") < 32),
-               F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-        .otherwise(0)
-    )
-    hi = F.sum(
-        F.when(set_bit & (F.col("j") >= 32),
-               F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT) - 32)"))
-        .otherwise(0)
-    )
-    return (
-        votes.groupBy("doc_id", "j")
-        .agg(F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("v"))
-        .groupBy("doc_id")
-        .agg(hi.cast("long").alias("sim_hi"), lo.cast("long").alias("sim_lo"))
+    votes = [
+        F.sum(
+            F.when(
+                F.expr(f"(d[{j // 4}] >> {3 - j % 4}) & 1") == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    zero = F.lit(0).cast("bigint")
+    lo = zero
+    for j in range(min(bits, 32)):
+        lo = lo + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+    hi = zero
+    for j in range(32, bits):
+        hi = hi + F.when(F.col(f"v{j}") > 0, F.lit(1 << (j - 32))).otherwise(0)
+    return agg.select(
+        "doc_id", hi.cast("long").alias("sim_hi"), lo.cast("long").alias("sim_lo")
     )
 
 

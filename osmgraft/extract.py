@@ -141,6 +141,13 @@ def extract_entities(
     the JVM path are likewise built per requested field).  ``url`` +
     ``mention`` are ~2/3 of the output bytes and most pipelines (e.g.
     the tile cut) never read them.
+
+    .. versionchanged:: round 4
+       BREAKING for callers relying on null-fill: inputs missing a
+       requested passthrough column (``url``/``doc_id``) now raise
+       ``ValueError`` on BOTH engines.  Previously the jvm engine
+       null-filled where the arrow engine raised — the loud, identical
+       behavior replaces that silent divergence.
     """
     if engine == "jvm":
         return extract_entities_jvm(pages, columns)

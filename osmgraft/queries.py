@@ -1090,10 +1090,25 @@ _SHINGLES_SQL = """
 """
 
 
+# Stop-shingle (document-frequency) cap active in BOTH gate dedup queries
+# and their oracles: shingles occurring in more than _MAX_DF docs are
+# dropped from the pair join AND the per-doc set sizes (the defined
+# stop-shingle semantics).  4 exercises the drop path at every test SF
+# (max observed df is 7-9); production guidance lives in
+# dedup.shingles.__doc__ (a few thousand at crawl scale).
+_MAX_DF = 4
+
+_SHINGLES_CAPPED_SQL = f"""
+    sh0 AS ({_SHINGLES_SQL}),
+    hot AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > {_MAX_DF}),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot))
+"""
+
+
 @_register(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH {_SHINGLES_CAPPED_SQL},
     sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
     inter AS (
       SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_inter
@@ -1109,15 +1124,16 @@ _SHINGLES_SQL = """
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs (shingle equi-join prefilter)."""
+    """Exact n-gram Jaccard near-dup pairs (shingle equi-join prefilter,
+    stop-shingle df cap active — see _MAX_DF)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.05)
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.05, max_df=_MAX_DF)
 
 
 @_register(
     "dedup_minhash_lsh",
     f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH {_SHINGLES_CAPPED_SQL},
     sig AS (
       SELECT id, seed, MIN(md5(concat(CAST(seed AS STRING), '|', shingle))) AS minhash
       FROM sh, UNNEST(generate_series(0, 7)) AS s(seed)
@@ -1143,9 +1159,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (md5-minwise, banded buckets)."""
+    """MinHash+LSH near-dup candidates (md5-minwise, banded buckets,
+    stop-shingle df cap active — see _MAX_DF)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.minhash_lsh_pairs(d, k=8, band_size=2, n=3)
+    return dedup.minhash_lsh_pairs(d, k=8, band_size=2, n=3, max_df=_MAX_DF)
 
 
 _SIMHASH_SQL = """

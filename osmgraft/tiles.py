@@ -388,7 +388,13 @@ def dense_tile_raster(raster: DataFrame, res_bits: int = 4) -> DataFrame:
     row-major ``res*res`` count array per tile (the shape a renderer
     uploads).  Kept OUT of the storage path by design — at planet
     scale dense empty tiles are wasted bytes; this is a per-tile
-    groupBy over already-aggregated pixels."""
+    groupBy over already-aggregated pixels.
+
+    Input MUST be pre-aggregated per (z, tile_x, tile_y, px, py); a
+    duplicate pixel row surfaces at runtime as Spark's
+    ``DUPLICATED_MAP_KEY`` exception from ``map_from_entries`` (loud by
+    design — the previous fold silently last-write-wins'd).  If you see
+    that exception here, aggregate the pixel counts first."""
     res = 1 << res_bits
     idx = (F.col("py") * res + F.col("px")).cast("int")
     # px-index -> count map per tile, then one O(res^2) lookup pass —

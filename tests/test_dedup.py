@@ -77,6 +77,81 @@ def test_simhash_pairs_plan_has_no_theta_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_max_df_drops_boilerplate_shingle(spark):
+    # 1k docs sharing one nav-bar shingle: without a df cap the pair
+    # join expands ~1k^2/2 rows on that shingle; with the cap the
+    # boilerplate shingle must not exist for ANY consumer — pair join,
+    # per-doc sizes, or minhash signatures.
+    nav = "home about contact"
+    rows = [(i, f"{nav} unique{i} filler{i} tail{i}") for i in range(1000)]
+    rows += [(2000, "a b c d e"), (2001, "a b c d e")]  # true dup pair
+    d = _docs(spark, rows)
+    sh = dedup.shingles(d, n=3, max_df=4)
+    assert sh.filter(F.col("shingle") == nav).count() == 0
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.01, max_df=4)
+    got = [(r.doc_a, r.doc_b, r.jaccard) for r in pairs.collect()]
+    # only the true dup survives — and at jaccard 1.0 because the
+    # boilerplate shingles are gone from its union too
+    assert got == [(2000, 2001, 1.0)]
+    lsh = dedup.minhash_lsh_pairs(d, k=8, band_size=2, n=3, max_df=4)
+    assert [(r.doc_a, r.doc_b) for r in lsh.collect()] == [(2000, 2001)]
+
+
+def test_max_df_cap_bounds_join_fanout(spark):
+    # with the cap, per-shingle join fan-out is bounded by max_df^2/2:
+    # m docs sharing a shingle with m > max_df contribute ZERO pair
+    # rows for it (dropped entirely, not truncated)
+    rows = [(i, f"x y z uniq{i} u{i} v{i}") for i in range(50)]
+    d = _docs(spark, rows)
+    uncapped = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.0)
+    capped = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.0, max_df=4)
+    assert uncapped.count() == 50 * 49 // 2
+    assert capped.count() == 0
+
+
+def test_dedup_pair_functions_leave_no_cached_rdds(spark):
+    # cache-lifecycle contract (same leak class as the round-4 knn
+    # fix): both pair builders unpersist their INTERMEDIATE cache
+    # before returning — the only storage entry they may leave is the
+    # localCheckpoint backing the returned result itself (caller-owned,
+    # reclaimed by the ContextCleaner when the caller drops it).
+    import gc
+
+    d = _docs(spark, [(i, f"a b c d uniq{i}") for i in range(20)])
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_persistent()
+    out1 = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.0)
+    out2 = dedup.minhash_lsh_pairs(d, k=8, band_size=2, n=3)
+    out1.count()
+    out2.count()
+    # immediately after return: at most the two caller-owned result
+    # checkpoints — the shingle AND signature caches must already be
+    # gone (a leak of either would show as before+3 / before+4 here;
+    # pre-fix both leaked).  The checkpoints themselves are reclaimed
+    # by the ContextCleaner once the caller drops the DataFrames —
+    # GC-driven, so not asserted on a deadline here.
+    assert n_persistent() <= before + 2
+    del out1, out2
+    gc.collect()
+
+
+def test_simhash_plan_has_no_bitwidth_explode(spark):
+    # the 64 bit votes are aggregate columns of ONE groupBy(doc_id) —
+    # the per-token rows must NOT be exploded 64x before the shuffle
+    d = _docs(spark, [(i, f"tok{i} a b c d") for i in range(8)])
+    plan = (
+        dedup.simhash(d, bits=64)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    import re
+
+    # exactly one explode: the tokenizer; none for the bit index
+    assert len(re.findall(r"(?i)explode", plan)) <= 1
+
+
 def test_connected_components_chain_triangle_and_pair(spark):
     # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
     pairs = spark.createDataFrame(

@@ -139,8 +139,14 @@ def test_knn_certification_fused_job_count(spark, sf_dir):
         out = knn(spark, qs, pts, k=5)
         assert out.count() == 150
         jobs = sc.statusTracker().getJobIdsForGroup("knn-fused-probe")
+        # PINNED TO SPARK 4.1.2 job accounting: the <=28 budget depends
+        # on this version's AQE stage->job mapping and the r0 stats job.
+        # If this fails right after a Spark upgrade, recalibrate the
+        # budget (count jobs of a known-good run) before suspecting a
+        # certification-fusion regression.
         assert len(jobs) <= 28, (
-            f"kNN ran {len(jobs)} jobs — certification fusion regressed?"
+            f"kNN ran {len(jobs)} jobs — certification fusion regressed "
+            f"(or Spark-version job accounting changed; budget pinned to 4.1.2)?"
         )
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
