@@ -56,16 +56,17 @@ def shingles(
     # sequence(0, negative) yields a DESCENDING sequence and slice(start=0)
     # throws INVALID_PARAMETER_VALUE.START at runtime on short docs (the
     # DuckDB oracle's generate_series(1, len-2) silently yields none).
+    # array_distinct dedupes WITHIN each doc before the explode — set
+    # semantics per doc with ZERO shuffle, where a post-explode
+    # .distinct() was a full corpus-wide exchange (cross-doc repeats
+    # are distinct (id, shingle) pairs and stay either way).
     sh = F.expr(
         f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
-        f"transform(sequence(0, size(split(text, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))) "
+        f"array_distinct(transform(sequence(0, size(split(text, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))) "
         f"ELSE CAST(array() AS array<string>) END"
     )
-    out = (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
     if max_df is not None:
         # Single-pass df filter: a COUNT window over shingle — the
         # shingle set is computed ONCE (a hot-set anti-join would
@@ -106,15 +107,19 @@ def ngram_jaccard_pairs(
     crawl corpus; the unbounded default is exact-small-corpus semantics.
 
     Cache lifecycle: the shingle set feeds three consumers (sizes + the
-    two pair-join sides), so it is cached, eagerly populated (a lazily
-    cached multi-branch input races and recomputes — observed as the
-    round-2/3 flagship variance), consumed by an eager materialization
-    of the result, and unpersisted BEFORE return — its useful life ends
-    here, and a leaked cache entry is executor memory a 100 TB job
+    two pair-join sides), so it is cached and EAGERLY populated before
+    the consumers run, consumed by the eager result materialization
+    (localCheckpoint), and unpersisted BEFORE return — its useful life
+    ends here, and a leaked cache entry is executor memory a 100 TB job
     never gets back (same lifecycle class as the round-4 knn fix).
+    Eager-not-lazy is deliberate and measured: three consumers racing
+    a cold cache re-run the expensive shingle window concurrently
+    (lazy variant measured 2-5x slower at bench scale — same mechanism
+    as the r2/r3 flagship cache-race variance); the eager count costs
+    one extra job barrier, which is the cheaper side of that trade.
     """
     sh = shingles(df, n, max_df=max_df).cache()
-    sh.count()  # eager populate; a lazily cached multi-branch input races
+    sh.count()  # eager populate: cold-cache consumers race (see above)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.withColumnRenamed("id", "doc_a")
     b = sh.withColumnRenamed("id", "doc_b")
@@ -193,22 +198,48 @@ def minhash_lsh_pairs(
     to raise on a bigger corpus is ``band_size`` (stricter bands =>
     fewer accidental candidates), not a bucket width.
 
-    Cache lifecycle: signatures feed three consumers (bands + both
-    verify sides) — cached, eagerly populated, consumed by the eager
-    result materialization, unpersisted before return (same lifecycle
-    as :func:`ngram_jaccard_pairs`).  The shingle set feeds only the
-    signature build (one consumer — the window-based cap computes it
-    in a single pass), so it is NOT cached.
+    Plan shape (round 5): the k minwise hashes are k CONDITIONAL-MIN
+    AGGREGATE COLUMNS of a single groupBy(id) over the shingle rows —
+    one row per doc, one shuffle keyed on id (the seed-exploded
+    (id, seed)-keyed shuffle and the two seed-level verify joins of
+    the previous shape are gone; same trick as the SimHash vote fold).
+    Band keys are column slices of that row; the verify stage joins
+    the candidate pairs to the one-row-per-doc signature table twice
+    and counts matches with a codegen sum of k equality terms.
+
+    Cache lifecycle: the packed signature table feeds three consumers
+    (band explode + both verify sides) — cached and EAGERLY populated
+    (a lazy cache lets the consumers race and re-run the whole
+    window+signature subtree concurrently: measured 4-5x slower at
+    bench scale), consumed by the eager result materialization,
+    unpersisted before return.
     """
-    sig = _signatures_from(shingles(df, n, max_df=max_df), k).cache()
-    sig.count()  # eager populate; 3 consumers below must not race
-    bands = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.concat_ws("#", F.sort_array(F.collect_list(
-            F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash"))
-        ))).alias("band_key"))
+    sh = shingles(df, n, max_df=max_df)
+    hashes = [
+        F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
+        for s in range(k)
+    ]
+    packed = (
+        sh.select("id", *hashes)
+        .groupBy("id")
+        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(k)])
+        .cache()
     )
+    packed.count()  # eager populate: cold-cache consumers race (see above)
+    n_bands = (k + band_size - 1) // band_size
+    band_structs = [
+        F.struct(
+            F.lit(t).alias("band"),
+            F.concat_ws("#", *[
+                F.concat_ws(":", F.lit(str(s)), F.col(f"m{s}"))
+                for s in range(t * band_size, min((t + 1) * band_size, k))
+            ]).alias("band_key"),
+        )
+        for t in range(n_bands)
+    ]
+    bands = packed.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", "b.band", "b.band_key")
     a = bands.select(F.col("id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("id").alias("doc_b"), "band", "band_key")
     cand = (
@@ -217,24 +248,30 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sig.select(F.col("id").alias("doc_a"), "seed",
-                    F.col("minhash").alias("ma"))
-    sb = sig.select(F.col("id").alias("doc_b"), "seed",
-                    F.col("minhash").alias("mb"))
+    sa = packed.select(
+        F.col("id").alias("doc_a"),
+        *[F.col(f"m{s}").alias(f"ma{s}") for s in range(k)],
+    )
+    sb = packed.select(
+        F.col("id").alias("doc_b"),
+        *[F.col(f"m{s}").alias(f"mb{s}") for s in range(k)],
+    )
+    n_match = sum(
+        F.when(F.col(f"ma{s}") == F.col(f"mb{s}"), 1).otherwise(0)
+        for s in range(k)
+    )
     out = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)
-            ).alias("n_match")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.cast("bigint").alias("n_match"),
+            (n_match.cast("double") / k).alias("est_sim"),
         )
-        .withColumn("est_sim", F.col("n_match").cast("double") / k)
-        .select("doc_a", "doc_b", "n_match", "est_sim")
     )
     out = out.localCheckpoint(eager=True)
-    sig.unpersist()
+    packed.unpersist()
     return out
 
 

@@ -24,6 +24,7 @@ Spark-side plumbing — schema, partition-friendly batch shape,
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -326,9 +327,9 @@ def synth_image_payload(doc_id: int) -> bytes:
     zlib-compressed 8-bit truecolor raster of :func:`synth_pixel`
     values, each scanline filtered with filter type ``y % 5`` — all
     five standard filters appear, so decoding requires genuine filter
-    reversal.  JPEG: SOI + APP0(JFIF) + SOF0 marker stream
-    (header-complete; no entropy-coded scan — the pixel codec is the
-    declared stub).  GIF: GIF89a logical screen."""
+    reversal.  JPEG: complete baseline-sequential file with a real
+    entropy-coded scan (:func:`synth_jpeg_payload`).  GIF: GIF89a
+    logical screen."""
     fmt, w, h = synth_dims(doc_id)
     if fmt == "png":
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
@@ -348,16 +349,7 @@ def synth_image_payload(doc_id: int) -> bytes:
             + _png_chunk(b"IEND", b"")
         )
     if fmt == "jpeg":
-        app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
-        sof0 = struct.pack(">BHH", 8, h, w) + bytes(
-            [3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
-        )
-        return (
-            b"\xff\xd8"  # SOI
-            + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
-            + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
-            + b"\xff\xd9"  # EOI
-        )
+        return synth_jpeg_payload(doc_id)
     # GIF89a: logical screen + 4-entry global color table + one image
     # block whose pixel indices are real LZW-compressed data
     xs = np.arange(w, dtype=np.int64).reshape(1, w)
@@ -474,9 +466,8 @@ def decode_png_pixels(payload: bytes) -> np.ndarray | None:
     layout or corrupt/truncated data — never raises.
 
     The reference has no raster analog (tiles are vector features);
-    this closes the LLM-pipeline decode tier for PNG.  JPEG entropy
-    decode stays a declared stub (a from-scratch Huffman/DCT is out of
-    scope without a codec library to verify against).
+    this closes the LLM-pipeline decode tier for PNG.  Baseline JPEG
+    decodes too — see :func:`decode_jpeg_pixels`.
     """
     b = payload
     if len(b) < 8 or b[:8] != _PNG_SIG:
@@ -544,6 +535,381 @@ def decode_png_pixels(payload: bytes) -> np.ndarray | None:
     return out.reshape(h, w, ch)
 
 
+# ---------------------------------------------------------------------------
+# Baseline sequential JPEG — from-scratch encoder + decoder (no codec lib)
+# ---------------------------------------------------------------------------
+# Same proven pattern as PNG/GIF/WAV: synthesize our own container with
+# our own encoder, decode it with a from-scratch general decoder, check
+# against a closed-form integer oracle.  JPEG is lossy, so the
+# closed-form ground truth lives in COEFFICIENT space, not pixel space:
+# each 8x8 block's quantized DCT coefficients are a closed-form
+# function of (doc_id, bx, by) (exactly as synth_pixel defines the PNG
+# raster), the encoder entropy-codes them with real baseline machinery
+# (canonical Huffman, DC prediction, AC run-length/EOB, 0xFF byte
+# stuffing), and the decoder runs the full general pipeline: marker
+# parse -> DHT canonical-code rebuild -> MSB-first bit reader with
+# unstuffing -> DC/AC entropy decode -> dezigzag -> dequantize ->
+# fixed-point integer IDCT -> level shift + clamp -> crop.  The IDCT is
+# a DEFINED integer algorithm (10-bit cosine table, 22-bit shift,
+# round-half-up), so decoded pixels are bit-reproducible in DuckDB SQL
+# — ITU-T T.81 Annex A explicitly leaves IDCT precision to the
+# implementation, so a fixed-point IDCT is a conforming choice, and any
+# standard JPEG decoder reads these files (within its own IDCT
+# tolerance).  Reference analog: none (osm-tools never touches
+# rasters); this closes the r4 verdict item 6 stub.
+
+# K[u][t] = round(1024 * C(u) * cos((2t+1) u pi / 16)), C(0)=1/sqrt(2):
+# the 2-D IDCT is pixel(x, y) = 128 + (sum_{v,u} D[v][u] * K[u][x]
+# * K[v][y] + 2^21) >> 22 (arithmetic shift = floor), clamped to 0..255.
+_JPEG_IDCT_SHIFT = 22
+_JPEG_K = np.array(
+    [
+        [int(round(1024 * (0.7071067811865476 if u == 0 else 1.0)
+                   * math.cos((2 * t + 1) * u * math.pi / 16)))
+         for t in range(8)]
+        for u in range(8)
+    ],
+    dtype=np.int64,
+)
+
+# zigzag index -> (row, col) a.k.a. (vertical freq v, horizontal freq u)
+_JPEG_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# Quantization table in ZIGZAG order.  zz0 (DC) = 64 makes the DC range
+# +-16 span +-128 gray levels, so extreme blocks exercise the 0/255
+# clamp; zz2/zz5 carry the two closed-form AC coefficients.
+_JPEG_QTAB = [16] * 64
+_JPEG_QTAB[0], _JPEG_QTAB[2], _JPEG_QTAB[5] = 64, 10, 12
+
+# Huffman tables (own canonical tables — the DHT segment carries them,
+# so any conforming decoder reads the file; all-same-length canonical
+# codes keep the construction trivially verifiable and never assign the
+# reserved all-ones code).  DC: 12 categories at 4 bits.  AC: the 162
+# standard (run, size) symbols at 8 bits.
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_BITS = [0] * 16
+_JPEG_AC_BITS[7] = len(_JPEG_AC_VALS)  # all 162 symbols at 8 bits
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """ITU-T T.81 Annex C canonical code assignment: symbol ->
+    (code, length).  Shared by the encoder and the decoder's DHT
+    rebuild, so the two cannot drift."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def synth_jpeg_coeffs(doc_id: int, bx: int, by: int) -> tuple[int, int, int]:
+    """Closed-form quantized coefficients of block (bx, by): (DC,
+    zigzag-2, zigzag-5) — the same arithmetic the DuckDB oracle runs.
+    zz1/zz3/zz4 are zero by construction, so the entropy stream carries
+    genuine nonzero AC run lengths (run=1 before zz2, run=2 before
+    zz5) and, whenever zz2/zz5 land on 0, longer runs and early EOBs."""
+    dc = ((doc_id + 3 * bx + 5 * by) % 32) - 16
+    a2 = ((doc_id + bx + 2 * by) % 7) - 3
+    a5 = ((doc_id + 2 * bx + by) % 5) - 2
+    return dc, a2, a5
+
+
+def _jpeg_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+class _MsbBitWriter:
+    """MSB-first bit packer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | (code & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+        return bytes(self.out)
+
+
+def synth_jpeg_payload(doc_id: int) -> bytes:
+    """A complete baseline-sequential JPEG (SOI APP0 DQT DHT DHT SOF0
+    SOS scan EOI): one 8-bit grayscale component, coefficients from
+    :func:`synth_jpeg_coeffs`, entropy-coded for real."""
+    _, w, h = synth_dims(doc_id)
+    dc_code = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_code = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _MsbBitWriter()
+    pred = 0
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            dc, a2, a5 = synth_jpeg_coeffs(doc_id, bx, by)
+            zz = [0] * 64
+            zz[0], zz[2], zz[5] = dc, a2, a5
+            diff = dc - pred
+            pred = dc
+            s = _jpeg_category(diff)
+            c, ln = dc_code[s]
+            bw.write(c, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:  # ZRL (never hit by this synth; kept general)
+                    c, ln = ac_code[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                s = _jpeg_category(zz[k])
+                c, ln = ac_code[(run << 4) | s]
+                bw.write(c, ln)
+                bw.write(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+                run = 0
+            if run:  # EOB unless the block ends on a nonzero coefficient
+                c, ln = ac_code[0x00]
+                bw.write(c, ln)
+    scan = bw.finish()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    dqt = bytes([0x00]) + bytes(_JPEG_QTAB)  # 8-bit precision, table 0
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    sof0 = struct.pack(">BHH", 8, h, w) + bytes([1, 1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xC0, sof0)
+        + seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+class _MsbBitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    unstuffing; stops (returns None) at any marker or truncation."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int | None:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                return None
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(self.data):
+                    return None
+                nxt = self.data[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                elif 0xD0 <= nxt <= 0xD7:
+                    self.pos += 2  # RSTn: reset would go here; skip
+                    continue
+                else:
+                    return None  # real marker: scan over
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - width)) & ((1 << width) - 1)
+        self.nbits -= width
+        return v
+
+
+def _huff_decode(br: "_MsbBitReader", table: dict[tuple[int, int], int]) -> int | None:
+    code, ln = 0, 0
+    while ln < 16:
+        bit = br.read(1)
+        if bit is None:
+            return None
+        code, ln = (code << 1) | bit, ln + 1
+        if (code, ln) in table:
+            return table[(code, ln)]
+    return None
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
+    """From-scratch GENERAL baseline-sequential JPEG decoder for
+    single-component (grayscale) images: any DQT/DHT tables (read from
+    the stream, canonical rebuild), any coefficient content (full DC
+    category + AC run/size/ZRL/EOB alphabet), fixed-point integer IDCT
+    (see module comment).  Returns an (h, w) uint8 array, or None for
+    progressive/multi-component/arithmetic/corrupt input — never
+    raises."""
+    b = payload
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = -1
+    comp_q = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        marker = b[i + 1]
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if i + 4 > len(b):
+            return None
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if seglen < 2 or i + 2 + seglen > len(b):
+            return None
+        body = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                prec, tid = body[j] >> 4, body[j] & 0x0F
+                n = 64 * (2 if prec else 1)
+                if j + 1 + n > len(body):
+                    return None
+                if prec:
+                    vals = [
+                        struct.unpack(">H", body[j + 1 + 2 * k : j + 3 + 2 * k])[0]
+                        for k in range(64)
+                    ]
+                else:
+                    vals = list(body[j + 1 : j + 65])
+                qtabs[tid] = vals
+                j += 1 + n
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                cls, tid = body[j] >> 4, body[j] & 0x0F
+                if j + 17 > len(body):
+                    return None
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                if j + 17 + n > len(body):
+                    return None
+                vals = list(body[j + 17 : j + 17 + n])
+                enc = _huff_canonical(bits, vals)
+                # decode table: (code, len) -> symbol
+                htabs[(cls, tid)] = {
+                    (code, ln): sym for sym, (code, ln) in enc.items()
+                }
+                j += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 8 or body[0] != 8:
+                return None
+            h, w = struct.unpack(">HH", body[1:5])
+            if body[5] != 1:
+                return None  # single-component only
+            comp_q = body[8]
+        elif marker in _JPEG_SOF:
+            return None  # progressive/extended: out of scope
+        elif marker == 0xDA:  # SOS: entropy-coded data follows
+            if w < 0 or len(body) < 6 or body[0] != 1:
+                return None
+            dc_tid, ac_tid = body[2] >> 4, body[2] & 0x0F
+            dc_tab = htabs.get((0, dc_tid))
+            ac_tab = htabs.get((1, ac_tid))
+            q = qtabs.get(comp_q)
+            if dc_tab is None or ac_tab is None or q is None:
+                return None
+            return _jpeg_decode_scan(b, i + 2 + seglen, w, h, q, dc_tab, ac_tab)
+        i += 2 + seglen
+    return None
+
+
+def _jpeg_decode_scan(b, pos, w, h, q, dc_tab, ac_tab):
+    br = _MsbBitReader(b, pos)
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+    half = 1 << (_JPEG_IDCT_SHIFT - 1)
+    pred = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            s = _huff_decode(br, dc_tab)
+            if s is None or s > 11:
+                return None
+            diff = 0
+            if s:
+                v = br.read(s)
+                if v is None:
+                    return None
+                diff = _extend(v, s)
+            pred += diff
+            d = np.zeros((8, 8), dtype=np.int64)
+            d[0, 0] = pred * q[0]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, ac_tab)
+                if sym is None:
+                    return None
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63 or size == 0:
+                    return None
+                v = br.read(size)
+                if v is None:
+                    return None
+                r, c = _JPEG_ZIGZAG[k]
+                d[r, c] = _extend(v, size) * q[k]
+                k += 1
+            block = (
+                _JPEG_K.T @ d @ _JPEG_K + half
+            ) >> _JPEG_IDCT_SHIFT  # P[y,x] = sum D[v,u] K[u,x] K[v,y]
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                block + 128, 0, 255
+            ).astype(np.uint8)
+    return out[:h, :w]
+
+
 PIXEL_STATS_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("width", T.IntegerType()),
@@ -556,11 +922,12 @@ PIXEL_STATS_SCHEMA = T.StructType([
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched real pixel statistics over image payloads —
-    PNG (inflate + filter reversal) and GIF (LZW + palette map) both
-    decode for real: (media_id, width, height, n_vals, px_sum, px_max).
-    Integer-exact — gate-comparable against the closed-form raster
-    arithmetic.  JPEG / undecodable payloads yield -1 dims (kept, not
-    dropped)."""
+    PNG (inflate + filter reversal), GIF (LZW + palette map) and
+    baseline JPEG (Huffman entropy decode + integer IDCT) all decode
+    for real: (media_id, width, height, n_vals, px_sum, px_max).
+    Integer-exact — gate-comparable against the closed-form raster /
+    coefficient arithmetic.  Undecodable payloads yield -1 dims (kept,
+    not dropped)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -570,6 +937,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                 px = decode_png_pixels(raw)
                 if px is None:
                     px = decode_gif_pixels(raw)
+                if px is None:
+                    px = decode_jpeg_pixels(raw)
                 if px is None:
                     rows.append((int(mid), -1, -1, 0, 0, -1))
                 else:
@@ -823,9 +1192,9 @@ THUMB_STATS_SCHEMA = T.StructType([
 
 
 def thumbnail_stats(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """Resize verb: decode (PNG or GIF), nearest-neighbor downsample to
-    ``out_w x out_h``, emit integer thumbnail pixel sums.  Undecodable
-    payloads keep the -1 sentinel."""
+    """Resize verb: decode (PNG, GIF or baseline JPEG), nearest-neighbor
+    downsample to ``out_w x out_h``, emit integer thumbnail pixel sums.
+    Undecodable payloads keep the -1 sentinel."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -835,6 +1204,8 @@ def thumbnail_stats(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFra
                 px = decode_png_pixels(raw)
                 if px is None:
                     px = decode_gif_pixels(raw)
+                if px is None:
+                    px = decode_jpeg_pixels(raw)
                 if px is None:
                     rows.append((int(mid), -1, -1, 0))
                 else:
@@ -916,19 +1287,22 @@ def media_images_from_documents(docs: DataFrame) -> DataFrame:
 def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """8-dim feature from a media payload.
 
-    * PNG payloads decode for real (``decode_png_pixels``): the feature
-      is the normalized 8-bin intensity histogram of the raster.
+    * PNG, GIF and baseline-JPEG payloads decode for real
+      (``decode_png_pixels`` / ``decode_gif_pixels`` /
+      ``decode_jpeg_pixels``): the feature is the normalized 8-bin
+      intensity histogram of the raster.
     * PCM16 WAV payloads decode for real (``decode_wav_samples``):
       8-bin sample-amplitude histogram.
-    * JPEG/GIF pixel decode and compressed audio/video codecs are
-      declared STUBS — no PIL/ffmpeg/torchaudio in this environment;
-      ``fake=True`` yields a deterministic digest feature of the same
-      batch shape, so the distributed plumbing is fully exercised
-      either way."""
+    * Compressed audio/video codecs (mp3/aac/h264/...) are declared
+      STUBS — no ffmpeg/torchaudio in this environment; ``fake=True``
+      yields a deterministic digest feature of the same batch shape,
+      so the distributed plumbing is fully exercised either way."""
     if not fake:
         px = decode_png_pixels(payload)
         if px is None:
             px = decode_gif_pixels(payload)
+        if px is None:
+            px = decode_jpeg_pixels(payload)
         if px is not None:
             hist, _ = np.histogram(px.reshape(-1), bins=8, range=(0, 256))
             return (hist / px.size).astype(np.float32)
@@ -937,8 +1311,9 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
             hist, _ = np.histogram(s.reshape(-1), bins=8, range=(-32768, 32768))
             return (hist / s.size).astype(np.float32)
         raise NotImplementedError(
-            f"no {kind} codec in this environment (only PNG and PCM-WAV "
-            "decode natively); pass fake=True for the digest feature"
+            f"no {kind} codec in this environment (PNG, GIF, baseline "
+            "JPEG and PCM-WAV decode natively); pass fake=True for the "
+            "digest feature"
         )
     h = hashlib.sha256(payload).digest()
     return np.frombuffer(h[:32], dtype=np.uint8).reshape(8, 4).sum(axis=1).astype(

@@ -58,7 +58,7 @@ def lsh_candidate_pairs(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
 
 
 def lsh_band_buckets(
-    df: DataFrame, n_bands: int = 4, planes_per_band: int = 4
+    df: DataFrame, n_bands: int = 4, planes_per_band: int = 8
 ) -> DataFrame:
     """(vec_id, band_idx, bucket): multi-band hyperplane LSH.
 
@@ -66,7 +66,20 @@ def lsh_band_buckets(
     t*planes_per_band .. t*planes_per_band + planes_per_band - 1;
     a pair is a candidate iff it agrees on >= 1 whole band.  More bands
     of fewer planes => higher recall at higher candidate volume — the
-    standard banding trade-off, tuned per corpus."""
+    standard banding trade-off, tuned per corpus.
+
+    SIZING ``planes_per_band`` (p) BY CORPUS SIZE n — a band has 2^p
+    buckets, so under a uniform spread the expected candidate volume is
+    ~n^2/2^(p+1) PER BAND: a fixed p is a ceiling the corpus outgrows
+    quadratically.  To hold candidates to ~c*n per band pick
+    p >= log2(n / (2c)); e.g. c=16: n=10^3 -> p>=5, n=10^6 -> p>=15,
+    n=10^9 -> p>=25 (each plane is one more sign bit — cost is one
+    64-dim integer dot per plane per vector, so raising p is scan CPU,
+    never shuffle).  Recall lost to stricter bands is bought back with
+    ``n_bands`` (volume is linear in n_bands, recall 1-(1-s^p)^b).
+    The default p=8 (256 buckets/band) is sized for ~10^4-vector
+    corpora; :func:`embedding_near_dup_pairs` refuses to run with a
+    mis-sized width (see its ``max_cand_per_vec`` guard)."""
     qdf = quantized(df)
     rows = []
     for t in range(n_bands):
@@ -91,7 +104,7 @@ def lsh_band_buckets(
 
 
 def lsh_banded_candidate_pairs(
-    df: DataFrame, n_bands: int = 4, planes_per_band: int = 4
+    df: DataFrame, n_bands: int = 4, planes_per_band: int = 8
 ) -> DataFrame:
     """Distinct candidate pairs (vec_a < vec_b) sharing >= 1 LSH band —
     an equi-join on (band_idx, bucket), never an all-pairs scan."""
@@ -310,7 +323,18 @@ def kmeans_parallel_seed(
       each round — the same oversample-far-points pressure;
     * the final weighted reclustering of the candidate set becomes
       "keep the ``n_centroids`` candidates with the largest attraction
-      counts" (ties -> lowest vec_id);
+      counts" (ties -> lowest vec_id).  CAVEAT (documented trade-off
+      vs the paper): on a corpus dominated by ONE dense cluster,
+      several near-colocated candidates can all carry top attraction
+      weights, so weight ranking alone can seat multiple centroids in
+      that cluster — partially reintroducing the hot-bucket imbalance
+      the seeding exists to fix (the oversampled candidates themselves
+      are still well-spread, so the degeneracy is bounded by the
+      candidate pool, never first-n-vectors-bad).  The paper's fix is
+      a weighted k-means++/farthest-point pass over the <=1+l*rounds
+      candidates — cheap driver-side, but every selection step must be
+      unrolled identically in the SQL oracle, so it is deferred until
+      a skewed-corpus fixture shows measurable bucket imbalance;
     * the initial center is the vector with the smallest
       ``md5(vec_id)`` — a deterministic uniform draw that is NOT the
       lowest id (so sorted corpora get no special treatment).
@@ -550,7 +574,8 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     n_bands: int = 4,
-    planes_per_band: int = 4,
+    planes_per_band: int = 8,
+    max_cand_per_vec: float | None = 32.0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) — the scale path.
 
@@ -559,7 +584,42 @@ def embedding_near_dup_pairs(
     the exact DECIMAL(38,0) cosine-threshold verify.  Recall is the
     standard LSH banding guarantee (1 - (1 - s^p)^b for sign-agreement
     rate s), not 100% — for exhaustive small-scale comparison use
-    :func:`embedding_near_dup_pairs_exact`."""
+    :func:`embedding_near_dup_pairs_exact`.
+
+    ``max_cand_per_vec`` — candidate-volume guard: before building the
+    pair join, one cheap aggregation over the bucket table computes the
+    EXACT candidate volume the join would emit (sum of m*(m-1)/2 over
+    band buckets) and raises ``ValueError`` if it exceeds
+    ``max_cand_per_vec * n``.  This is what stops a bench-sized band
+    width from silently shipping against a big corpus: bucket widths
+    are a 2^p ceiling the corpus outgrows QUADRATICALLY (see
+    :func:`lsh_band_buckets` for the p >= log2(n/(2c)) sizing rule), and
+    without the guard the failure mode is an n^2/2^p shuffle, not an
+    error.  The guard costs one scan + a tiny aggregation — O(corpus)
+    work before an otherwise potentially O(corpus^2) join.  ``None``
+    disables (recall experiments on fixtures)."""
+    if max_cand_per_vec is not None:
+        b = lsh_band_buckets(df, n_bands, planes_per_band)
+        stats = (
+            b.groupBy("band_idx", "bucket")
+            .agg(F.count("*").alias("m"))
+            .agg(
+                F.sum(F.expr("m * (m - 1) / 2")).alias("pairs"),
+                (F.sum("m") / n_bands).alias("n_vec"),
+            )
+            .first()
+        )
+        pairs, n_vec = stats["pairs"] or 0, stats["n_vec"] or 0
+        if n_vec and pairs > max_cand_per_vec * n_vec:
+            raise ValueError(
+                f"LSH band width too small for this corpus: "
+                f"{n_bands} bands x {planes_per_band} planes would emit "
+                f"{int(pairs)} candidate pairs for {int(n_vec)} vectors "
+                f"({pairs / n_vec:.1f}/vec > max_cand_per_vec="
+                f"{max_cand_per_vec}).  Raise planes_per_band "
+                f"(p >= log2(n/(2c)) for ~c candidates/vec/band; see "
+                f"lsh_band_buckets), or raise/disable max_cand_per_vec."
+            )
     cand = lsh_banded_candidate_pairs(df, n_bands, planes_per_band)
     return _exact_cosine_filter(_with_vec_sides(df, cand), threshold)
 

@@ -129,11 +129,14 @@ def test_decode_payload_real_png_feature():
 
     f = multimodal.decode_payload(multimodal.synth_image_payload(9), "image")
     assert f.shape == (8,) and abs(float(f.sum()) - 1.0) < 1e-5
-    # non-PNG without fake still raises (declared stub)
+    # baseline JPEG decodes for real now (r4 verdict item 6)
+    fj = multimodal.decode_payload(multimodal.synth_image_payload(3), "image")
+    assert fj.shape == (8,) and abs(float(fj.sum()) - 1.0) < 1e-5
+    # genuinely codec-less payloads still raise (declared stub)
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_payload(multimodal.synth_image_payload(3), "image")
+        multimodal.decode_payload(b"\x00\x01no-such-container", "video")
 
 
 def test_wav_roundtrip_and_decode():
@@ -258,3 +261,114 @@ def test_video_payload_frame_count_property(doc_id):
     frames = multimodal.decode_gif_frames(multimodal.synth_video_payload(doc_id))
     assert frames is not None and len(frames) == nf
     assert all(f.shape == (h, w, 3) for f in frames)
+
+
+def _jpeg_closed_form(doc_id):
+    """Independent numpy evaluation of the decoded-pixel closed form
+    (the same arithmetic the DuckDB oracle runs)."""
+    import numpy as np
+
+    _, w, h = multimodal.synth_dims(doc_id)
+    K1 = [1004, 851, 569, 200, -200, -569, -851, -1004]
+    K2 = [946, 392, -392, -946, -946, -392, 392, 946]
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            dc, a2, a5 = multimodal.synth_jpeg_coeffs(doc_id, x // 8, y // 8)
+            s = dc * 33547264 + a2 * 7240 * K1[y % 8] + a5 * 8688 * K2[x % 8]
+            out[y, x] = min(255, max(0, 128 + ((s + (1 << 21)) >> 22)))
+    return out
+
+
+def test_jpeg_entropy_decode_roundtrip_exact():
+    # full pipeline: coefficient closed form -> Huffman encode (DC
+    # prediction, AC run-length, EOB) -> marker stream -> general
+    # decoder (DHT rebuild, bit reader, dequant, integer IDCT) must be
+    # BIT-EXACT against the closed form, including 0/255 clamping
+    import numpy as np
+
+    clamped = 0
+    for doc_id in (3, 12, 21, 57, 102, 300):
+        px = multimodal.decode_jpeg_pixels(multimodal.synth_jpeg_payload(doc_id))
+        cf = _jpeg_closed_form(doc_id)
+        assert px is not None and px.shape == cf.shape
+        assert np.array_equal(px, cf), doc_id
+        clamped += int((px == 0).sum() + (px == 255).sum())
+    assert clamped > 0  # the DC range is sized to exercise the clamp
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    # the synthetic coefficient range never emits an 0xFF scan byte, so
+    # exercise stuffing directly: a handcrafted one-block scan whose DC
+    # value bits are all ones forces 0xFF bytes into the stream; the
+    # encoder must stuff 0x00 and the decoder must unstuff it
+    import struct as _s
+
+    import numpy as np
+
+    M = multimodal
+    dc_code = M._huff_canonical(M._JPEG_DC_BITS, M._JPEG_DC_VALS)
+    ac_code = M._huff_canonical(M._JPEG_AC_BITS, M._JPEG_AC_VALS)
+    # writer/reader stuffing contract first, in isolation
+    w16 = M._MsbBitWriter()
+    w16.write(0xFFFF, 16)
+    assert w16.finish() == b"\xff\x00\xff\x00"
+    r = M._MsbBitReader(b"\xff\x00\xff\x00", 0)
+    assert r.read(16) == 0xFFFF
+
+    # then through the full decoder: two blocks — block 1 spends 12
+    # zero bits (DC cat 0 + EOB), so block 2's 11 all-ones DC value
+    # bits land byte-aligned and force a stuffed 0xFF into the scan
+    bw = M._MsbBitWriter()
+    c, ln = dc_code[0]
+    bw.write(c, ln)
+    c, ln = ac_code[0x00]
+    bw.write(c, ln)
+    c, ln = dc_code[11]
+    bw.write(c, ln)
+    bw.write(2047, 11)  # diff +2047: bits 11111111111
+    c, ln = ac_code[0x00]
+    bw.write(c, ln)
+    scan = bw.finish()
+    assert b"\xff\x00" in scan  # stuffing engaged
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes(M._JPEG_QTAB))
+        + seg(0xC4, bytes([0x00]) + bytes(M._JPEG_DC_BITS) + bytes(M._JPEG_DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(M._JPEG_AC_BITS) + bytes(M._JPEG_AC_VALS))
+        + seg(0xC0, _s.pack(">BHH", 8, 8, 16) + bytes([1, 1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    px = M.decode_jpeg_pixels(payload)
+    assert px is not None and px.shape == (8, 16)
+    # block 1: DC 0 -> flat 128; block 2: DC 2047 -> clamped flat 255
+    assert np.unique(px[:, :8]).tolist() == [128]
+    assert np.unique(px[:, 8:]).tolist() == [255]
+
+
+def test_jpeg_decoder_rejects_corrupt_and_foreign():
+    p = multimodal.synth_jpeg_payload(12)
+    assert multimodal.decode_jpeg_pixels(p[:40]) is None  # truncated scan
+    assert multimodal.decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    assert multimodal.decode_jpeg_pixels(multimodal.synth_image_payload(0)) is None
+    # three-component SOF0 (color) is out of scope -> None, not a crash
+    mut = bytearray(p)
+    sof = mut.find(b"\xff\xc0")
+    mut[sof + 9] = 3
+    assert multimodal.decode_jpeg_pixels(bytes(mut)) is None
+
+
+def test_jpeg_payload_parses_with_stdlib_header_walk():
+    # the header parser (marker walk) must coexist with the entropy
+    # scan: dims come from SOF0 behind DQT/DHT segments
+    for doc_id in (3, 12, 21):
+        fmt, w, h = multimodal.synth_dims(doc_id)
+        assert multimodal.parse_image_header(
+            multimodal.synth_jpeg_payload(doc_id)
+        ) == ("jpeg", w, h)

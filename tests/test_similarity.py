@@ -93,6 +93,28 @@ def test_banded_near_dup_is_subset_of_exact_with_sane_recall(spark, emb):
         assert recall >= 0.3, f"LSH recall collapsed: {recall}"
 
 
+def test_candidate_volume_guard_rejects_bench_sized_band_width(spark, emb):
+    # r4 verdict item 3: bucket widths are a 2^p ceiling the corpus
+    # outgrows quadratically — the guard must refuse to run a join
+    # whose EXACT candidate volume (sum m*(m-1)/2 over band buckets)
+    # exceeds max_cand_per_vec * n.  On this very corpus the old
+    # 4x4 default emits ~78 candidates/vec (> 32), the 4x8 production
+    # default ~21 (< 32): the guard turns the silent n^2/2^p shuffle
+    # into a loud, actionable error.
+    from osmgraft.similarity import embedding_near_dup_pairs
+
+    with pytest.raises(ValueError, match="planes_per_band"):
+        embedding_near_dup_pairs(emb, threshold=0.5, planes_per_band=4)
+    # production default passes the guard and still finds the dups
+    out = embedding_near_dup_pairs(emb, threshold=0.5)
+    assert out.columns == ["vec_a", "vec_b"]
+    out.count()  # guard passed; plan executes
+    # guard disabled: the 4x4 width runs (recall experiments only)
+    embedding_near_dup_pairs(
+        emb, threshold=0.5, planes_per_band=4, max_cand_per_vec=None
+    ).count()
+
+
 def test_banded_near_dup_plan_has_no_crossjoin(spark, emb):
     from osmgraft.similarity import embedding_near_dup_pairs
 
