@@ -2089,6 +2089,54 @@ _KMPP_DIST = (
     " FROM UNNEST(generate_series(1, 64)) t(i))"
 )
 
+
+def _kmpp_greedy_sql(n_centroids: int = 8) -> str:
+    """Unrolled greedy weighted farthest-point selection CTEs (the
+    oracle twin of kmeans_parallel_seed's round-5 final pass): g1 =
+    highest weight, g{{k}} = argmax weight * min-d2-to-seated over the
+    not-yet-seated candidates, all ties -> lowest cid.  Expects a
+    ``fin0(cid, cvec, wgt HUGEINT)`` CTE in scope; emits ``fin(cid,
+    cvec)`` with cid 0..n-1 in seating order.  HUGEINT product:
+    weight * d2 exceeds int64 at corpus scale (the Spark side uses
+    arbitrary-precision python ints)."""
+    dist = (
+        "(SELECT SUM((c.cvec[i] - s.cvec[i]) * (c.cvec[i] - s.cvec[i]))"
+        " FROM UNNEST(generate_series(1, 64)) t(i))"
+    )
+    # MATERIALIZED is load-bearing: g{k} references g1..g{k-1} and
+    # fin0, so default CTE inlining re-expands the WHOLE upstream
+    # pipeline ~2^k times (observed as "Too many open files" from
+    # hundreds of inlined parquet scans); materialization makes each
+    # tiny step compute exactly once.
+    parts = [
+        "g1 AS MATERIALIZED "
+        "(SELECT cid, cvec FROM fin0 ORDER BY wgt DESC, cid ASC LIMIT 1)"
+    ]
+    for k in range(2, n_centroids + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT cid, cvec FROM g{j}" for j in range(1, k)
+        )
+        seated = " UNION ALL ".join(
+            f"SELECT cid FROM g{j}" for j in range(1, k)
+        )
+        parts.append(
+            f"g{k} AS MATERIALIZED (SELECT cid, cvec FROM ("
+            f"SELECT c.cid, c.cvec, c.wgt * (SELECT MIN({dist}) "
+            f"FROM ({prev}) s) AS score "
+            f"FROM fin0 c WHERE c.cid NOT IN ({seated})"
+            f") ORDER BY score DESC, cid ASC LIMIT 1)"
+        )
+    ord_union = " UNION ALL ".join(
+        f"SELECT cvec, {k} AS ord FROM g{k}"
+        for k in range(1, n_centroids + 1)
+    )
+    parts.append(
+        "fin AS (SELECT CAST(rk - 1 AS BIGINT) AS cid, cvec FROM ("
+        f"SELECT cvec, ROW_NUMBER() OVER (ORDER BY ord) AS rk "
+        f"FROM ({ord_union})))"
+    )
+    return ",\n    ".join(parts)
+
 @_register(
     "ann_ivf_kmeanspp",
     f"""
@@ -2129,12 +2177,10 @@ _KMPP_DIST = (
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY dd ASC, cid ASC) AS rn
         FROM pa) WHERE rn = 1 GROUP BY cid),
-    fin AS (
-      SELECT CAST(rk - 1 AS BIGINT) AS cid, cvec FROM (
-        SELECT s2.cvec,
-               ROW_NUMBER() OVER (ORDER BY COALESCE(aw.weight, 0) DESC,
-                                  s2.cid ASC) AS rk
-        FROM s2 LEFT JOIN aw ON aw.cid = s2.cid) WHERE rk <= 8),
+    fin0 AS MATERIALIZED (
+      SELECT s2.cid, s2.cvec, CAST(COALESCE(aw.weight, 0) AS HUGEINT) AS wgt
+      FROM s2 LEFT JOIN aw ON aw.cid = s2.cid),
+    {_kmpp_greedy_sql(8)},
     pf AS (
       SELECT q.vec_id, c.cid, {_KMPP_DIST} AS dd
       FROM q CROSS JOIN fin c)

@@ -321,20 +321,17 @@ def kmeans_parallel_seed(
     * the paper's per-point sampling with probability ``l*d2/phi``
       becomes "take the TOP-``l`` points by (d2 DESC, vec_id ASC)"
       each round — the same oversample-far-points pressure;
-    * the final weighted reclustering of the candidate set becomes
-      "keep the ``n_centroids`` candidates with the largest attraction
-      counts" (ties -> lowest vec_id).  CAVEAT (documented trade-off
-      vs the paper): on a corpus dominated by ONE dense cluster,
-      several near-colocated candidates can all carry top attraction
-      weights, so weight ranking alone can seat multiple centroids in
-      that cluster — partially reintroducing the hot-bucket imbalance
-      the seeding exists to fix (the oversampled candidates themselves
-      are still well-spread, so the degeneracy is bounded by the
-      candidate pool, never first-n-vectors-bad).  The paper's fix is
-      a weighted k-means++/farthest-point pass over the <=1+l*rounds
-      candidates — cheap driver-side, but every selection step must be
-      unrolled identically in the SQL oracle, so it is deferred until
-      a skewed-corpus fixture shows measurable bucket imbalance;
+    * the final weighted reclustering of the candidate set becomes a
+      GREEDY WEIGHTED FARTHEST-POINT pass (round 5; closes the
+      r4-advice caveat): seat 1 = highest attraction weight, each
+      further seat maximizes weight * min-d2-to-seated (all ties ->
+      lowest vec_id).  Pure weight ranking could seat several
+      near-colocated candidates of one dense cluster — the hot-bucket
+      shape the seeding exists to fix; under farthest-point a dense
+      cluster claims at most one seat until every other weighted
+      region is represented.  Every greedy step is unrolled
+      identically in the SQL oracle (HUGEINT product — weight * d2
+      exceeds int64 at corpus scale);
     * the initial center is the vector with the smallest
       ``md5(vec_id)`` — a deterministic uniform draw that is NOT the
       lowest id (so sorted corpora get no special treatment).
@@ -408,10 +405,32 @@ def kmeans_parallel_seed(
             .collect()
         )
     }
-    # final selection over <= 1 + l*rounds candidates: plain python
-    final = sorted(
+    # Final selection over <= 1 + l*rounds candidates: GREEDY WEIGHTED
+    # FARTHEST-POINT (the deterministic stand-in for the paper's
+    # weighted k-means++ recluster), plain python over the driver-
+    # resident candidate set.  Seat 1 = highest attraction weight
+    # (ties -> lowest vec_id); each further seat maximizes
+    # weight * min-squared-distance-to-seated (ties -> lowest vec_id),
+    # so a single dense cluster can claim at most one seat until every
+    # other weighted region is represented — closing the r4-advice
+    # hot-bucket caveat of pure weight ranking.  Python ints are
+    # arbitrary precision, so weight * d2 cannot overflow at corpus
+    # scale (the oracle uses HUGEINT for the same product).
+    def _d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    remaining = sorted(
         cents_rows, key=lambda cv: (-weights.get(cv[0], 0), cv[0])
-    )[:n_centroids]
+    )
+    final = [remaining.pop(0)]
+    while len(final) < n_centroids and remaining:
+        best_i, best_key = 0, None
+        for i, (cid, v) in enumerate(remaining):
+            score = weights.get(cid, 0) * min(_d2(v, sv) for _, sv in final)
+            key = (-score, cid)
+            if best_key is None or key < best_key:
+                best_i, best_key = i, key
+        final.append(remaining.pop(best_i))
     return cents_df([(i, v) for i, (_, v) in enumerate(final)])
 
 

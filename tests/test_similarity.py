@@ -258,3 +258,48 @@ def test_ivf_train_assign_accepts_kmeanspp_seed(spark):
     got = {r.vec_id: r.centroid_id for r in out.collect()}
     assert len(got) == 45
     assert set(got.values()) <= {0, 1, 2}
+
+
+def test_kmeans_greedy_recluster_spreads_on_dense_dominant_cluster(spark):
+    """r4 advice item 1 (closed in round 5): pure attraction-weight
+    ranking can seat several near-colocated candidates of ONE dense
+    cluster (each inherits a slice of the big cluster's weight and
+    still outweighs every minor-cluster candidate).  The greedy
+    weighted farthest-point final pass seats at most one centroid in
+    the dense cluster before every other weighted region is
+    represented — so on a 1-dominant corpus each minor cluster gets
+    its own bucket."""
+    from collections import Counter
+
+    from osmgraft.similarity import kmeans_parallel_assign
+
+    dim = 64
+    rows = []
+    vec_id = 0
+    # dominant dense cluster: 300 vectors
+    center0 = [float(((d * 13) % 11) - 5) for d in range(dim)]
+    for _ in range(300):
+        jit = [((vec_id * 31 + d * 17) % 5 - 2) * 0.01 for d in range(dim)]
+        rows.append((vec_id, [center0[d] + jit[d] for d in range(dim)]))
+        vec_id += 1
+    # four minor clusters: 10 vectors each, far from center0
+    for c in range(1, 5):
+        center = [float(((c * 7 + d * 13) % 11) - 5 + 20 * c) for d in range(dim)]
+        for _ in range(10):
+            jit = [((vec_id * 31 + d * 17) % 5 - 2) * 0.01 for d in range(dim)]
+            rows.append((vec_id, [center[d] + jit[d] for d in range(dim)]))
+            vec_id += 1
+    emb = spark.createDataFrame(
+        rows, schema="vec_id LONG, embedding ARRAY<FLOAT>"
+    ).cache()
+    n = emb.count()
+    dist = Counter(
+        r.centroid_id
+        for r in kmeans_parallel_assign(emb, n_centroids=5).collect()
+    )
+    assert sum(dist.values()) == n
+    # every region represented: 5 effective buckets, and the dominant
+    # cluster holds exactly its own 300 vectors (0.88n would be the
+    # weight-ranking collapse signature)
+    assert len(dist) == 5, dict(dist)
+    assert max(dist.values()) <= 300, dict(dist)
