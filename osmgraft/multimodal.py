@@ -584,17 +584,23 @@ _JPEG_ZIGZAG = [
     (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
 ]
 
-# Quantization table in ZIGZAG order.  zz0 (DC) = 64 makes the DC range
-# +-16 span +-128 gray levels, so extreme blocks exercise the 0/255
-# clamp; zz2/zz5 carry the two closed-form AC coefficients.
+# Quantization tables in ZIGZAG order.  Luma: zz0 (DC) = 64 makes the
+# DC range +-16 span +-128 gray levels, so extreme blocks exercise the
+# 0/255 clamp; zz2/zz5 carry the two closed-form AC coefficients.
+# Chroma gets its OWN table (id 1) with different values, so quant
+# table selection per component is genuinely exercised.
 _JPEG_QTAB = [16] * 64
 _JPEG_QTAB[0], _JPEG_QTAB[2], _JPEG_QTAB[5] = 64, 10, 12
+_JPEG_QTAB_CHROMA = [17] * 64
+_JPEG_QTAB_CHROMA[0], _JPEG_QTAB_CHROMA[2], _JPEG_QTAB_CHROMA[5] = 40, 8, 10
 
 # Huffman tables (own canonical tables — the DHT segment carries them,
 # so any conforming decoder reads the file; all-same-length canonical
 # codes keep the construction trivially verifiable and never assign the
-# reserved all-ones code).  DC: 12 categories at 4 bits.  AC: the 162
-# standard (run, size) symbols at 8 bits.
+# reserved all-ones code).  Luma: DC 12 categories at 4 bits, AC the
+# 162 standard (run, size) symbols at 8 bits.  Chroma (table id 1):
+# same alphabets at 5/9 bits — DIFFERENT code lengths, so per-component
+# Huffman table selection is load-bearing, not cosmetic.
 _JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_DC_VALS = list(range(12))
 _JPEG_AC_VALS = [0x00, 0xF0] + [
@@ -602,6 +608,9 @@ _JPEG_AC_VALS = [0x00, 0xF0] + [
 ]
 _JPEG_AC_BITS = [0] * 16
 _JPEG_AC_BITS[7] = len(_JPEG_AC_VALS)  # all 162 symbols at 8 bits
+_JPEG_DC2_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC2_BITS = [0] * 16
+_JPEG_AC2_BITS[8] = len(_JPEG_AC_VALS)  # all 162 symbols at 9 bits
 
 
 def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -628,6 +637,35 @@ def synth_jpeg_coeffs(doc_id: int, bx: int, by: int) -> tuple[int, int, int]:
     a2 = ((doc_id + bx + 2 * by) % 7) - 3
     a5 = ((doc_id + 2 * bx + by) % 5) - 2
     return dc, a2, a5
+
+
+def synth_jpeg_is_color(doc_id: int) -> bool:
+    """Which synthetic JPEGs are 3-component YCbCr (vs grayscale) —
+    the same ``(doc_id // 9) % 2`` arithmetic the DuckDB oracle runs.
+    JPEG docs are ``doc_id % 9 == 3``, so successive JPEGs alternate
+    gray/color and both scan structures stay in the test population."""
+    return (doc_id // 9) % 2 == 1
+
+
+def synth_jpeg_chroma_coeffs(
+    doc_id: int, bx: int, by: int
+) -> tuple[tuple[int, int, int], tuple[int, int, int]]:
+    """Closed-form quantized (DC, zigzag-2, zigzag-5) for the Cb and Cr
+    components of block (bx, by) — same oracle-shared arithmetic as
+    :func:`synth_jpeg_coeffs`.  DC range ±12 at chroma Q0=40 spans
+    ±60 plane levels around 128, so the color transform sees genuinely
+    saturated and neutral chroma without the planes always clamping."""
+    cb = (
+        ((doc_id + 5 * bx + 3 * by) % 24) - 12,
+        ((doc_id + 3 * bx + by) % 5) - 2,
+        ((doc_id + bx + 3 * by) % 3) - 1,
+    )
+    cr = (
+        ((doc_id + 7 * bx + by) % 24) - 12,
+        ((2 * doc_id + bx + by) % 5) - 2,
+        ((doc_id + 4 * bx + 2 * by) % 3) - 1,
+    )
+    return cb, cr
 
 
 def _jpeg_category(v: int) -> int:
@@ -659,44 +697,66 @@ class _MsbBitWriter:
         return bytes(self.out)
 
 
+def _jpeg_encode_block(bw, coeffs, dc_code, ac_code, pred: int) -> int:
+    """Entropy-code one 8x8 block from its (DC, zigzag-2, zigzag-5)
+    quantized coefficients: DC prediction + category bits, AC
+    run-length/ZRL/EOB.  Returns the new DC predictor."""
+    dc, a2, a5 = coeffs
+    zz = [0] * 64
+    zz[0], zz[2], zz[5] = dc, a2, a5
+    diff = dc - pred
+    s = _jpeg_category(diff)
+    c, ln = dc_code[s]
+    bw.write(c, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:  # ZRL (never hit by this synth; kept general)
+            c, ln = ac_code[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        s = _jpeg_category(zz[k])
+        c, ln = ac_code[(run << 4) | s]
+        bw.write(c, ln)
+        bw.write(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+        run = 0
+    if run:  # EOB unless the block ends on a nonzero coefficient
+        c, ln = ac_code[0x00]
+        bw.write(c, ln)
+    return dc
+
+
 def synth_jpeg_payload(doc_id: int) -> bytes:
-    """A complete baseline-sequential JPEG (SOI APP0 DQT DHT DHT SOF0
-    SOS scan EOI): one 8-bit grayscale component, coefficients from
-    :func:`synth_jpeg_coeffs`, entropy-coded for real."""
+    """A complete baseline-sequential JPEG (SOI APP0 DQT DHT SOF0 SOS
+    scan EOI), entropy-coded for real.  Grayscale docs carry one
+    component (luma tables only); :func:`synth_jpeg_is_color` docs
+    carry three 1x1-sampled YCbCr components in interleaved MCUs —
+    Y from :func:`synth_jpeg_coeffs` with quant/Huffman table set 0,
+    Cb/Cr from :func:`synth_jpeg_chroma_coeffs` with table set 1
+    (different quant values AND different Huffman code lengths, so
+    per-component table selection in a decoder is load-bearing)."""
     _, w, h = synth_dims(doc_id)
+    color = synth_jpeg_is_color(doc_id)
     dc_code = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_code = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    if color:
+        dc2_code = _huff_canonical(_JPEG_DC2_BITS, _JPEG_DC_VALS)
+        ac2_code = _huff_canonical(_JPEG_AC2_BITS, _JPEG_AC_VALS)
     bw = _MsbBitWriter()
-    pred = 0
+    preds = [0, 0, 0]
     for by in range((h + 7) // 8):
         for bx in range((w + 7) // 8):
-            dc, a2, a5 = synth_jpeg_coeffs(doc_id, bx, by)
-            zz = [0] * 64
-            zz[0], zz[2], zz[5] = dc, a2, a5
-            diff = dc - pred
-            pred = dc
-            s = _jpeg_category(diff)
-            c, ln = dc_code[s]
-            bw.write(c, ln)
-            if s:
-                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            for k in range(1, 64):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:  # ZRL (never hit by this synth; kept general)
-                    c, ln = ac_code[0xF0]
-                    bw.write(c, ln)
-                    run -= 16
-                s = _jpeg_category(zz[k])
-                c, ln = ac_code[(run << 4) | s]
-                bw.write(c, ln)
-                bw.write(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
-                run = 0
-            if run:  # EOB unless the block ends on a nonzero coefficient
-                c, ln = ac_code[0x00]
-                bw.write(c, ln)
+            preds[0] = _jpeg_encode_block(
+                bw, synth_jpeg_coeffs(doc_id, bx, by), dc_code, ac_code, preds[0]
+            )
+            if color:
+                cb, cr = synth_jpeg_chroma_coeffs(doc_id, bx, by)
+                preds[1] = _jpeg_encode_block(bw, cb, dc2_code, ac2_code, preds[1])
+                preds[2] = _jpeg_encode_block(bw, cr, dc2_code, ac2_code, preds[2])
     scan = bw.finish()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -704,21 +764,27 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
 
     app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
     dqt = bytes([0x00]) + bytes(_JPEG_QTAB)  # 8-bit precision, table 0
-    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
-    sof0 = struct.pack(">BHH", 8, h, w) + bytes([1, 1, 0x11, 0])
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
-    return (
+    out = (
         b"\xff\xd8"
         + seg(0xE0, app0)
         + seg(0xDB, dqt)
-        + seg(0xC4, dht_dc)
-        + seg(0xC4, dht_ac)
-        + seg(0xC0, sof0)
-        + seg(0xDA, sos)
-        + scan
-        + b"\xff\xd9"
+        + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
     )
+    if color:
+        out += (
+            seg(0xDB, bytes([0x01]) + bytes(_JPEG_QTAB_CHROMA))
+            + seg(0xC4, bytes([0x01]) + bytes(_JPEG_DC2_BITS) + bytes(_JPEG_DC_VALS))
+            + seg(0xC4, bytes([0x11]) + bytes(_JPEG_AC2_BITS) + bytes(_JPEG_AC_VALS))
+        )
+        sof0 = struct.pack(">BHH", 8, h, w) + bytes(
+            [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    else:
+        sof0 = struct.pack(">BHH", 8, h, w) + bytes([1, 1, 0x11, 0])
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return out + seg(0xC0, sof0) + seg(0xDA, sos) + scan + b"\xff\xd9"
 
 
 class _MsbBitReader:
@@ -773,12 +839,15 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
-    """From-scratch GENERAL baseline-sequential JPEG decoder for
-    single-component (grayscale) images: any DQT/DHT tables (read from
-    the stream, canonical rebuild), any coefficient content (full DC
+    """From-scratch GENERAL baseline-sequential JPEG decoder:
+    1-component (grayscale) and 3-component (YCbCr, 1x1 sampling)
+    images, any DQT/DHT tables (read from the stream, canonical
+    rebuild), per-component quant/Huffman selection, interleaved MCUs
+    with per-component DC predictors, any coefficient content (full DC
     category + AC run/size/ZRL/EOB alphabet), fixed-point integer IDCT
-    (see module comment).  Returns an (h, w) uint8 array, or None for
-    progressive/multi-component/arithmetic/corrupt input — never
+    (see module comment), integer-exact JFIF YCbCr->RGB.  Returns an
+    (h, w) uint8 array for grayscale or (h, w, 3) RGB for color, or
+    None for progressive/subsampled/arithmetic/corrupt input — never
     raises."""
     b = payload
     if len(b) < 4 or b[:2] != b"\xff\xd8":
@@ -786,7 +855,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = -1
-    comp_q = 0
+    comp_qmap: dict[int, int] = {}  # component id -> quant table id
+    comp_order: list[int] = []  # component ids in SOF order
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -842,72 +912,113 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
             if len(body) < 8 or body[0] != 8:
                 return None
             h, w = struct.unpack(">HH", body[1:5])
-            if body[5] != 1:
-                return None  # single-component only
-            comp_q = body[8]
+            ncomp = body[5]
+            if ncomp not in (1, 3) or len(body) < 6 + 3 * ncomp:
+                return None
+            for ci in range(ncomp):
+                cid, samp, qtid = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    return None  # subsampled chroma: out of scope
+                comp_order.append(cid)
+                comp_qmap[cid] = qtid
         elif marker in _JPEG_SOF:
             return None  # progressive/extended: out of scope
         elif marker == 0xDA:  # SOS: entropy-coded data follows
-            if w < 0 or len(body) < 6 or body[0] != 1:
+            ns = body[0] if body else 0
+            if w < 0 or len(body) < 1 + 2 * ns + 3 or ns != len(comp_order):
                 return None
-            dc_tid, ac_tid = body[2] >> 4, body[2] & 0x0F
-            dc_tab = htabs.get((0, dc_tid))
-            ac_tab = htabs.get((1, ac_tid))
-            q = qtabs.get(comp_q)
-            if dc_tab is None or ac_tab is None or q is None:
-                return None
-            return _jpeg_decode_scan(b, i + 2 + seglen, w, h, q, dc_tab, ac_tab)
+            comps = []  # (quant table, dc decode table, ac decode table)
+            for ci in range(ns):
+                cid, tids = body[1 + 2 * ci], body[2 + 2 * ci]
+                dc_tab = htabs.get((0, tids >> 4))
+                ac_tab = htabs.get((1, tids & 0x0F))
+                q = qtabs.get(comp_qmap.get(cid, -1))
+                if dc_tab is None or ac_tab is None or q is None:
+                    return None
+                comps.append((q, dc_tab, ac_tab))
+            return _jpeg_decode_scan(b, i + 2 + seglen, w, h, comps)
         i += 2 + seglen
     return None
 
 
-def _jpeg_decode_scan(b, pos, w, h, q, dc_tab, ac_tab):
+def _jpeg_decode_block(br, q, dc_tab, ac_tab, pred):
+    """One 8x8 block: DC diff + AC RLE -> dequantized coefficient
+    matrix D[v][u] and the updated DC predictor; None on any error."""
+    s = _huff_decode(br, dc_tab)
+    if s is None or s > 11:
+        return None
+    diff = 0
+    if s:
+        v = br.read(s)
+        if v is None:
+            return None
+        diff = _extend(v, s)
+    pred += diff
+    d = np.zeros((8, 8), dtype=np.int64)
+    d[0, 0] = pred * q[0]
+    k = 1
+    while k < 64:
+        sym = _huff_decode(br, ac_tab)
+        if sym is None:
+            return None
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63 or size == 0:
+            return None
+        v = br.read(size)
+        if v is None:
+            return None
+        r, c = _JPEG_ZIGZAG[k]
+        d[r, c] = _extend(v, size) * q[k]
+        k += 1
+    return d, pred
+
+
+def _jpeg_decode_scan(b, pos, w, h, comps):
+    """Interleaved-MCU scan decode (1x1 sampling: MCU = one block per
+    component, per-component DC predictors), fixed-point integer IDCT
+    per block, then level shift + clamp; 3-component output goes
+    through the integer-exact JFIF YCbCr->RGB transform."""
     br = _MsbBitReader(b, pos)
     bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    out = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+    ncomp = len(comps)
+    planes = np.zeros((ncomp, bh_ * 8, bw_ * 8), dtype=np.int64)
     half = 1 << (_JPEG_IDCT_SHIFT - 1)
-    pred = 0
+    preds = [0] * ncomp
     for by in range(bh_):
         for bx in range(bw_):
-            s = _huff_decode(br, dc_tab)
-            if s is None or s > 11:
-                return None
-            diff = 0
-            if s:
-                v = br.read(s)
-                if v is None:
+            for ci, (q, dc_tab, ac_tab) in enumerate(comps):
+                r = _jpeg_decode_block(br, q, dc_tab, ac_tab, preds[ci])
+                if r is None:
                     return None
-                diff = _extend(v, s)
-            pred += diff
-            d = np.zeros((8, 8), dtype=np.int64)
-            d[0, 0] = pred * q[0]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(br, ac_tab)
-                if sym is None:
-                    return None
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63 or size == 0:
-                    return None
-                v = br.read(size)
-                if v is None:
-                    return None
-                r, c = _JPEG_ZIGZAG[k]
-                d[r, c] = _extend(v, size) * q[k]
-                k += 1
-            block = (
-                _JPEG_K.T @ d @ _JPEG_K + half
-            ) >> _JPEG_IDCT_SHIFT  # P[y,x] = sum D[v,u] K[u,x] K[v,y]
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                block + 128, 0, 255
-            ).astype(np.uint8)
-    return out[:h, :w]
+                d, preds[ci] = r
+                block = (
+                    _JPEG_K.T @ d @ _JPEG_K + half
+                ) >> _JPEG_IDCT_SHIFT  # P[y,x] = sum D[v,u] K[u,x] K[v,y]
+                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    np.clip(block + 128, 0, 255)
+                )
+    planes = planes[:, :h, :w]
+    if ncomp == 1:
+        return planes[0].astype(np.uint8)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    """Integer-exact JFIF color transform (libjpeg's 16-bit fixed-point
+    constants; arithmetic >> floors): the SQL oracle evaluates the
+    identical expressions, so decoded RGB is bit-reproducible."""
+    cb = cb - 128
+    cr = cr - 128
+    r = y + ((91881 * cr + 32768) >> 16)
+    g = y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+    b = y + ((116130 * cb + 32768) >> 16)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
 PIXEL_STATS_SCHEMA = T.StructType([

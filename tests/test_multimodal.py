@@ -263,8 +263,8 @@ def test_video_payload_frame_count_property(doc_id):
     assert all(f.shape == (h, w, 3) for f in frames)
 
 
-def _jpeg_closed_form(doc_id):
-    """Independent numpy evaluation of the decoded-pixel closed form
+def _jpeg_plane(doc_id, coeff_fn, q0, q2, q5):
+    """Independent numpy evaluation of one decoded plane's closed form
     (the same arithmetic the DuckDB oracle runs)."""
     import numpy as np
 
@@ -274,27 +274,81 @@ def _jpeg_closed_form(doc_id):
     out = np.zeros((h, w), dtype=np.int64)
     for y in range(h):
         for x in range(w):
-            dc, a2, a5 = multimodal.synth_jpeg_coeffs(doc_id, x // 8, y // 8)
-            s = dc * 33547264 + a2 * 7240 * K1[y % 8] + a5 * 8688 * K2[x % 8]
+            dc, a2, a5 = coeff_fn(doc_id, x // 8, y // 8)
+            s = (
+                dc * q0 * 724 * 724
+                + a2 * q2 * 724 * K1[y % 8]
+                + a5 * q5 * 724 * K2[x % 8]
+            )
             out[y, x] = min(255, max(0, 128 + ((s + (1 << 21)) >> 22)))
     return out
+
+
+def _jpeg_closed_form(doc_id):
+    """Closed-form decoded raster: luma plane for grayscale docs; the
+    integer JFIF color transform of the three planes for color docs."""
+    yv = _jpeg_plane(doc_id, multimodal.synth_jpeg_coeffs, 64, 10, 12)
+    if not multimodal.synth_jpeg_is_color(doc_id):
+        return yv
+    cb = _jpeg_plane(
+        doc_id, lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[0],
+        40, 8, 10,
+    )
+    cr = _jpeg_plane(
+        doc_id, lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[1],
+        40, 8, 10,
+    )
+    return multimodal._ycbcr_to_rgb(yv, cb, cr)
 
 
 def test_jpeg_entropy_decode_roundtrip_exact():
     # full pipeline: coefficient closed form -> Huffman encode (DC
     # prediction, AC run-length, EOB) -> marker stream -> general
-    # decoder (DHT rebuild, bit reader, dequant, integer IDCT) must be
-    # BIT-EXACT against the closed form, including 0/255 clamping
+    # decoder (DHT rebuild, bit reader, dequant, integer IDCT, and for
+    # the color tier per-component quant/Huffman selection + integer
+    # YCbCr->RGB) must be BIT-EXACT against the closed form, including
+    # 0/255 clamping
     import numpy as np
 
     clamped = 0
-    for doc_id in (3, 12, 21, 57, 102, 300):
+    saw_color = saw_gray = False
+    for doc_id in (3, 12, 21, 30, 57, 102, 300):
         px = multimodal.decode_jpeg_pixels(multimodal.synth_jpeg_payload(doc_id))
         cf = _jpeg_closed_form(doc_id)
         assert px is not None and px.shape == cf.shape
         assert np.array_equal(px, cf), doc_id
         clamped += int((px == 0).sum() + (px == 255).sum())
+        if multimodal.synth_jpeg_is_color(doc_id):
+            saw_color = True
+            assert px.ndim == 3 and px.shape[2] == 3
+        else:
+            saw_gray = True
+            assert px.ndim == 2
+    assert saw_color and saw_gray  # both scan structures exercised
     assert clamped > 0  # the DC range is sized to exercise the clamp
+
+
+def test_jpeg_color_tables_are_load_bearing():
+    # the chroma components declare quant table 1 and Huffman tables
+    # DC1/AC1 (different values AND different code lengths than set 0);
+    # decoding a color payload as if chroma used set 0 must NOT work —
+    # i.e. per-component table selection is semantics, not decoration
+    import numpy as np
+
+    doc_id = 12
+    assert multimodal.synth_jpeg_is_color(doc_id)
+    p = bytearray(multimodal.synth_jpeg_payload(doc_id))
+    sos = p.find(b"\xff\xda")
+    # SOS body: ns=3, (1, 0x00), (2, 0x11), (3, 0x11), spectral bytes
+    assert sos > 0 and p[sos + 4] == 3 and p[sos + 6] == 0x00
+    assert p[sos + 8] == 0x11 and p[sos + 10] == 0x11
+    p[sos + 8] = 0x00  # Cb scan spec -> DC0/AC0
+    p[sos + 10] = 0x00  # Cr scan spec -> DC0/AC0
+    wrong = multimodal.decode_jpeg_pixels(bytes(p))
+    right = multimodal.decode_jpeg_pixels(
+        multimodal.synth_jpeg_payload(doc_id)
+    )
+    assert wrong is None or not np.array_equal(wrong, right)
 
 
 def test_jpeg_byte_stuffing_roundtrip():
@@ -357,11 +411,19 @@ def test_jpeg_decoder_rejects_corrupt_and_foreign():
     assert multimodal.decode_jpeg_pixels(p[:40]) is None  # truncated scan
     assert multimodal.decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
     assert multimodal.decode_jpeg_pixels(multimodal.synth_image_payload(0)) is None
-    # three-component SOF0 (color) is out of scope -> None, not a crash
-    mut = bytearray(p)
+    # SOF claiming 3 components over a 1-component body: the component
+    # specs are missing (truncated SOF) -> None, not a crash
+    mut = bytearray(multimodal.synth_jpeg_payload(3))  # grayscale doc
     sof = mut.find(b"\xff\xc0")
     mut[sof + 9] = 3
     assert multimodal.decode_jpeg_pixels(bytes(mut)) is None
+    # subsampled chroma (2x2 luma sampling factor) is declared out of
+    # scope -> None, not a wrong-pixel decode
+    cp = bytearray(multimodal.synth_jpeg_payload(30))
+    sof = cp.find(b"\xff\xc0")
+    assert cp[sof + 11] == 0x11
+    cp[sof + 11] = 0x22
+    assert multimodal.decode_jpeg_pixels(bytes(cp)) is None
 
 
 def test_jpeg_payload_parses_with_stdlib_header_walk():
