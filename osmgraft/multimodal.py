@@ -668,6 +668,16 @@ def synth_jpeg_chroma_coeffs(
     return cb, cr
 
 
+def synth_jpeg_restart_interval(doc_id: int) -> int:
+    """Restart interval (MCUs between RSTn markers; 0 = none) for a
+    synthetic JPEG.  Every third JPEG doc carries DRI=2, so the restart
+    machinery (byte realignment, RST0..7 modulo sequence, DC-predictor
+    resets) is exercised across BOTH the grayscale and color tiers.
+    Restart markers restructure the entropy stream without changing any
+    decoded pixel, so the pixel oracles are interval-blind."""
+    return 2 if (doc_id // 9) % 3 == 2 else 0
+
+
 def _jpeg_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
@@ -689,6 +699,14 @@ class _MsbBitWriter:
             if b == 0xFF:
                 self.out.append(0x00)
             self.nbits -= 8
+
+    def restart(self, m: int) -> None:
+        """Byte-align (1-bit padding, spec F.1.2.3) and emit RSTm —
+        marker bytes are appended raw, never byte-stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m % 8)])
 
     def finish(self) -> bytes:
         if self.nbits:
@@ -738,9 +756,12 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
     Y from :func:`synth_jpeg_coeffs` with quant/Huffman table set 0,
     Cb/Cr from :func:`synth_jpeg_chroma_coeffs` with table set 1
     (different quant values AND different Huffman code lengths, so
-    per-component table selection in a decoder is load-bearing)."""
+    per-component table selection in a decoder is load-bearing).
+    :func:`synth_jpeg_restart_interval` docs additionally carry DRI
+    with real RSTn boundaries (byte-aligned, predictors reset)."""
     _, w, h = synth_dims(doc_id)
     color = synth_jpeg_is_color(doc_id)
+    rsti = synth_jpeg_restart_interval(doc_id)
     dc_code = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_code = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     if color:
@@ -748,6 +769,8 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
         ac2_code = _huff_canonical(_JPEG_AC2_BITS, _JPEG_AC_VALS)
     bw = _MsbBitWriter()
     preds = [0, 0, 0]
+    n_mcu = ((h + 7) // 8) * ((w + 7) // 8)
+    mcu = 0
     for by in range((h + 7) // 8):
         for bx in range((w + 7) // 8):
             preds[0] = _jpeg_encode_block(
@@ -757,6 +780,10 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
                 cb, cr = synth_jpeg_chroma_coeffs(doc_id, bx, by)
                 preds[1] = _jpeg_encode_block(bw, cb, dc2_code, ac2_code, preds[1])
                 preds[2] = _jpeg_encode_block(bw, cr, dc2_code, ac2_code, preds[2])
+            mcu += 1
+            if rsti and mcu % rsti == 0 and mcu < n_mcu:
+                bw.restart(mcu // rsti - 1)
+                preds = [0, 0, 0]
     scan = bw.finish()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -784,6 +811,8 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
     else:
         sof0 = struct.pack(">BHH", 8, h, w) + bytes([1, 1, 0x11, 0])
         sos = bytes([1, 1, 0x00, 0, 63, 0])
+    if rsti:
+        out += seg(0xDD, struct.pack(">H", rsti))  # DRI
     return out + seg(0xC0, sof0) + seg(0xDA, sos) + scan + b"\xff\xd9"
 
 
@@ -808,11 +837,11 @@ class _MsbBitReader:
                 nxt = self.data[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2  # stuffed 0xFF data byte
-                elif 0xD0 <= nxt <= 0xD7:
-                    self.pos += 2  # RSTn: reset would go here; skip
-                    continue
                 else:
-                    return None  # real marker: scan over
+                    # real marker mid-read — including an RSTn the scan
+                    # loop did not expect here (expected ones go through
+                    # expect_restart): corrupt/unsupported stream
+                    return None
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
@@ -820,6 +849,22 @@ class _MsbBitReader:
         v = (self.acc >> (self.nbits - width)) & ((1 << width) - 1)
         self.nbits -= width
         return v
+
+    def expect_restart(self, m: int) -> bool:
+        """Consume one restart boundary: discard the (at most 7) 1-bit
+        padding bits of the current byte, then require the next two
+        bytes to be exactly RST(m%8) — the modulo sequence is part of
+        the stream contract, so a skipped or reordered restart fails
+        loudly instead of desynchronizing the Huffman stream."""
+        self.acc = 0
+        self.nbits = 0  # read() never banks a full byte, so this is
+        # only padding (see read: nbits < width before the last fetch)
+        if self.pos + 2 > len(self.data):
+            return False
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + (m % 8):
+            return False
+        self.pos += 2
+        return True
 
 
 def _huff_decode(br: "_MsbBitReader", table: dict[tuple[int, int], int]) -> int | None:
@@ -843,12 +888,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
     1-component (grayscale) and 3-component (YCbCr, 1x1 sampling)
     images, any DQT/DHT tables (read from the stream, canonical
     rebuild), per-component quant/Huffman selection, interleaved MCUs
-    with per-component DC predictors, any coefficient content (full DC
-    category + AC run/size/ZRL/EOB alphabet), fixed-point integer IDCT
-    (see module comment), integer-exact JFIF YCbCr->RGB.  Returns an
-    (h, w) uint8 array for grayscale or (h, w, 3) RGB for color, or
-    None for progressive/subsampled/arithmetic/corrupt input — never
-    raises."""
+    with per-component DC predictors, DRI/RSTn restart intervals (byte
+    realignment, RST0..7 modulo-sequence check, predictor resets), any
+    coefficient content (full DC category + AC run/size/ZRL/EOB
+    alphabet), fixed-point integer IDCT (see module comment),
+    integer-exact JFIF YCbCr->RGB.  Returns an (h, w) uint8 array for
+    grayscale or (h, w, 3) RGB for color, or None for progressive/
+    subsampled/arithmetic/corrupt input — never raises."""
     b = payload
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
@@ -857,6 +903,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
     w = h = -1
     comp_qmap: dict[int, int] = {}  # component id -> quant table id
     comp_order: list[int] = []  # component ids in SOF order
+    rsti = 0  # DRI restart interval (MCUs); 0 = no restarts
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -923,6 +970,10 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                 comp_qmap[cid] = qtid
         elif marker in _JPEG_SOF:
             return None  # progressive/extended: out of scope
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            if len(body) != 2:
+                return None
+            rsti = struct.unpack(">H", body)[0]
         elif marker == 0xDA:  # SOS: entropy-coded data follows
             ns = body[0] if body else 0
             if w < 0 or len(body) < 1 + 2 * ns + 3 or ns != len(comp_order):
@@ -936,7 +987,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                 if dc_tab is None or ac_tab is None or q is None:
                     return None
                 comps.append((q, dc_tab, ac_tab))
-            return _jpeg_decode_scan(b, i + 2 + seglen, w, h, comps)
+            return _jpeg_decode_scan(b, i + 2 + seglen, w, h, comps, rsti)
         i += 2 + seglen
     return None
 
@@ -979,19 +1030,27 @@ def _jpeg_decode_block(br, q, dc_tab, ac_tab, pred):
     return d, pred
 
 
-def _jpeg_decode_scan(b, pos, w, h, comps):
+def _jpeg_decode_scan(b, pos, w, h, comps, rsti=0):
     """Interleaved-MCU scan decode (1x1 sampling: MCU = one block per
     component, per-component DC predictors), fixed-point integer IDCT
     per block, then level shift + clamp; 3-component output goes
-    through the integer-exact JFIF YCbCr->RGB transform."""
+    through the integer-exact JFIF YCbCr->RGB transform.  With a DRI
+    interval, every ``rsti`` MCUs the reader byte-realigns, checks the
+    RST0..7 modulo sequence and resets every DC predictor."""
     br = _MsbBitReader(b, pos)
     bw_, bh_ = (w + 7) // 8, (h + 7) // 8
     ncomp = len(comps)
     planes = np.zeros((ncomp, bh_ * 8, bw_ * 8), dtype=np.int64)
     half = 1 << (_JPEG_IDCT_SHIFT - 1)
     preds = [0] * ncomp
+    mcu = 0
     for by in range(bh_):
         for bx in range(bw_):
+            if rsti and mcu and mcu % rsti == 0:
+                if not br.expect_restart(mcu // rsti - 1):
+                    return None
+                preds = [0] * ncomp
+            mcu += 1
             for ci, (q, dc_tab, ac_tab) in enumerate(comps):
                 r = _jpeg_decode_block(br, q, dc_tab, ac_tab, preds[ci])
                 if r is None:

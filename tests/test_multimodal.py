@@ -406,6 +406,41 @@ def test_jpeg_byte_stuffing_roundtrip():
     assert np.unique(px[:, 8:]).tolist() == [255]
 
 
+def test_jpeg_restart_markers_roundtrip_and_are_load_bearing():
+    # restart docs (synth_jpeg_restart_interval) carry DRI + real RSTn
+    # boundaries: byte-aligned padding, RST0..7 modulo sequence,
+    # DC-predictor resets.  Restarts restructure the bitstream without
+    # changing any pixel, so the closed form is the same oracle.
+    import numpy as np
+
+    M = multimodal
+    rst_doc = None
+    for doc_id in (21, 48, 75, 102, 129, 156, 183):
+        assert M.synth_jpeg_restart_interval(doc_id) == 2
+        p = M.synth_jpeg_payload(doc_id)
+        assert b"\xff\xdd" in p  # DRI present
+        px = M.decode_jpeg_pixels(p)
+        cf = _jpeg_closed_form(doc_id)
+        assert px is not None and np.array_equal(px, cf), doc_id
+        n_rst = sum(p.count(bytes([0xFF, 0xD0 + m])) for m in range(8))
+        if rst_doc is None and n_rst > 8:
+            rst_doc = (doc_id, p)  # modulo wraparound exercised
+    assert rst_doc is not None
+    doc_id, p = rst_doc
+    # strip the DRI segment: the decoder must NOT silently skip the
+    # RSTn markers it no longer expects (the pre-round-5 reader did)
+    i = p.find(b"\xff\xdd")
+    assert M.decode_jpeg_pixels(p[:i] + p[i + 6 :]) is None
+    # corrupt the modulo sequence: RST0 -> RST3 must fail loudly
+    j = p.find(b"\xff\xd0")
+    mut = bytearray(p)
+    mut[j + 1] = 0xD3
+    assert M.decode_jpeg_pixels(bytes(mut)) is None
+    # drop one restart marker entirely: the stream desynchronizes and
+    # the decode must fail, not return wrong pixels
+    assert M.decode_jpeg_pixels(p[:j] + p[j + 2 :]) is None
+
+
 def test_jpeg_decoder_rejects_corrupt_and_foreign():
     p = multimodal.synth_jpeg_payload(12)
     assert multimodal.decode_jpeg_pixels(p[:40]) is None  # truncated scan
