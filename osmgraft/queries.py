@@ -1889,6 +1889,129 @@ def tag_dictionary(spark, sf_dir):
     )
 
 
+# Deterministic extras for the OBM roundtrip: a timestamp and (for
+# every 5th tagged node) a long 'description' value that spans 1-3
+# 30-byte BTag slots, so the gate exercises value chunking AND
+# header-repeating continuation records, not just the 1-record path.
+_OBM_TS_SQL = "1400000000 + (doc_id * 37) % 100000000"
+_OBM_DESC_LEN_SQL = "1 + doc_id % 63"
+
+
+@_register(
+    "obm_roundtrip",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE doc_id % 14
+               WHEN 0 THEN 'amenity' WHEN 1 THEN 'shop' WHEN 2 THEN 'tourism'
+               WHEN 3 THEN 'historic' WHEN 4 THEN 'power'
+               WHEN 5 THEN 'place' WHEN 6 THEN 'place' WHEN 7 THEN 'place'
+               WHEN 8 THEN 'place' WHEN 9 THEN 'highway' WHEN 10 THEN 'crossing'
+               WHEN 11 THEN 'railway' WHEN 12 THEN 'highway' END AS bk,
+             CASE doc_id % 14
+               WHEN 0 THEN 'restaurant' WHEN 1 THEN 'bakery' WHEN 2 THEN 'hotel'
+               WHEN 3 THEN 'castle' WHEN 4 THEN 'tower'
+               WHEN 5 THEN 'city' WHEN 6 THEN 'town' WHEN 7 THEN 'hamlet'
+               WHEN 8 THEN 'village' WHEN 9 THEN 'traffic_signals'
+               WHEN 10 THEN 'zebra' WHEN 11 THEN 'crossing'
+               WHEN 12 THEN 'residential' END AS bv
+      FROM documents
+    ),
+    tl AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 14 = 13 THEN CAST([] AS VARCHAR[])
+             ELSE [bk || '=' || bv, 'name=n' || CAST(doc_id AS VARCHAR)]
+                  || (CASE WHEN doc_id % 4 = 0
+                      THEN ['created_by=osmgraft'] ELSE [] END)
+                  || (CASE WHEN doc_id % 5 = 0
+                      THEN ['description=' || repeat('x', {_OBM_DESC_LEN_SQL})]
+                      ELSE [] END)
+             END AS tags
+      FROM t
+    )
+    SELECT doc_id AS id,
+           {synth.LAT_EXPR} AS lat_e7, {synth.LON_EXPR} AS lon_e7,
+           CAST({_OBM_TS_SQL} AS BIGINT) AS ts,
+           CAST(len(tags) AS INT) AS n_tags,
+           COALESCE(array_to_string(list_sort(tags), '|'), '') AS tags_str
+    FROM tl
+    """,
+)
+def obm_roundtrip(spark, sf_dir):
+    """K3: the reference's fixed-record binary OBM store
+    (``osmc/obm.h:43-68``, ``obm.c:88-117,209-226``) as a distributed
+    sink + scan round trip.  Nodes (with a long-value tag on every 5th
+    tagged node) are dictionary-encoded (A5 ids, 0..2 reserved),
+    written as 96-byte BNode records — 30-byte value chunking,
+    continuation records repeating the header, EMPTY-sentinel slot
+    padding — then scanned back in parallel (numpy structured-dtype
+    decode) and re-inflated to tag strings.  The oracle recomputes the
+    INPUT declaratively: any byte lost anywhere in encode -> file ->
+    binaryFile scan -> decode -> reassembly fails the gate."""
+    import os as _os
+
+    from . import obm
+
+    nodes = osm_fixtures.nodes_df(spark, sf_dir)
+    nodes = nodes.withColumn(
+        "tags",
+        F.when(
+            (F.col("id") % 5 == 0) & (F.size(F.map_keys("tags")) > 0),
+            F.map_concat(
+                "tags",
+                F.create_map(
+                    F.lit("description"),
+                    F.expr(f"repeat('x', {_OBM_DESC_LEN_SQL.replace('doc_id', 'id')})"),
+                ),
+            ),
+        ).otherwise(F.col("tags")),
+    ).withColumn("ts", F.expr(_OBM_TS_SQL.replace("doc_id", "id")).cast("long"))
+
+    # A5 dictionary: dense ids from 3 (0..2 reserved), driver-resident
+    # (the key universe is tiny and bounded by the tag schema)
+    keys = sorted(
+        r[0] for r in nodes.select(
+            F.explode(F.map_keys("tags")).alias("k")).distinct().collect()
+    )
+    key_id = {k: i + 3 for i, k in enumerate(keys)}
+    fwd = F.create_map(
+        *[F.lit(x) for kv in key_id.items() for x in kv])
+    inv = F.create_map(
+        *[F.lit(x) for k, i in key_id.items() for x in (i, k)])
+
+    enc = nodes.select(
+        "id",
+        F.col("lat_e7").cast("long").alias("lat_e7"),
+        F.col("lon_e7").cast("long").alias("lon_e7"),
+        "ts",
+        F.transform(
+            F.array_sort(F.map_entries("tags")),
+            lambda e: F.struct(
+                F.element_at(fwd, e["key"]).cast("int").alias("key"),
+                e["value"].alias("value"),
+            ),
+        ).alias("tags"),
+    )
+    store = "/tmp/osmgraft_gate_obm_" + _os.path.basename(sf_dir.rstrip("/"))
+    obm.write_obm(enc, f"{store}/nodes", "node")
+    back = obm.read_obm(spark, f"{store}/nodes", "node")
+    return back.select(
+        "id", "lat_e7", "lon_e7", "ts",
+        F.size("tags").cast("int").alias("n_tags"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    "tags",
+                    lambda t: F.concat(
+                        F.element_at(inv, t["key"]), F.lit("="), t["value"]
+                    ),
+                )
+            ),
+            "|",
+        ).alias("tags_str"),
+    )
+
+
 @_register(
     "first_write_wins",
     """
@@ -2601,6 +2724,13 @@ _GATE_TAIL = [
                                # in-window primary geo_pip_join; carried its
                                # green driver row in CORRECTNESS_r04 and stays
                                # in the local parity replica (sf0.001+sf0.01)
+    # Round-5 rotation 2: obm_roundtrip moved INTO the window (first
+    # gate exposure of the K3 fixed-record binary sink+scan — the last
+    # reproducible SURVEY §2 gap); one variant demoted:
+    "ann_cosine_topk_ivf",     # cosine-metric IVF composition; its two parts
+                               # are both in-window (ann_ivf_topk: IVF
+                               # machinery, ann_topk: exact cosine scoring)
+                               # and it stays in the local parity replica
 ]
 
 # The driver correctness gate records exactly the FIRST _GATE_WINDOW
