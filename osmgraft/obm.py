@@ -144,8 +144,6 @@ def _emit(hdr: bytes, slots: list[bytes], n_tag_slots: int,
         for _ in range(n_tag_slots):
             rec.append(slots[ti] if ti < len(slots) else EMPTY_TAG)
             ti += 1 if ti < len(slots) else 0
-        # slot-exact padding: advance ti only while data remains
-        ti = min(ti, len(slots))
         for li, (lst, count, empty) in enumerate(extra_lists):
             p = positions[li]
             take = lst[p : p + count]
@@ -309,6 +307,11 @@ def _decode_blob(content: bytes, dt: np.dtype, hdr_fields: list[str],
     """(records structured array, entity ordinal per record, slot
     frame).  Entity boundary = any header field change between
     consecutive records (ids unique per kind per store)."""
+    if len(content) % dt.itemsize:
+        raise ValueError(
+            f"corrupt OBM file: {len(content)} bytes is not a multiple "
+            f"of the {dt.itemsize}-byte record size"
+        )
     recs = np.frombuffer(content, dtype=dt)
     if len(recs) == 0:
         return recs, np.zeros(0, dtype=np.int64), pd.DataFrame(
