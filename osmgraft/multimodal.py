@@ -12,13 +12,18 @@ Spark-side plumbing — schema, partition-friendly batch shape,
   (:func:`synth_image_payload`: real zlib IDAT for PNG, real marker
   stream for JPEG), so the parser is exercised against genuinely
   well-formed bytes and cross-checked by a closed-form oracle.
-* **pixel decode**: PNG rasters decode for REAL — pure
-  stdlib+numpy inflate + filter reversal (:func:`decode_png_pixels`),
-  cross-checked against the closed-form :func:`synth_pixel` raster by
-  the ``media_pixels`` gate query.  JPEG/GIF pixel decode and
-  audio/video codecs remain declared stubs (need PIL/ffmpeg, absent
-  here); ``decode_payload(fake=True)`` keeps the deterministic digest
-  feature for those so the batch plumbing is exercised end to end.
+* **pixel decode** (real): PNG (inflate + filter reversal,
+  :func:`decode_png_pixels`), GIF (LZW, :func:`decode_gif_pixels` /
+  :func:`decode_gif_frames`), baseline JPEG incl. 3-component YCbCr
+  and restart markers (from-scratch Huffman + integer IDCT,
+  :func:`decode_jpeg_pixels`), MJPEG AVI video (RIFF walk + per-frame
+  JPEG, :func:`decode_avi_frames`) and PCM16 WAV
+  (:func:`decode_wav_samples`) — each cross-checked against
+  closed-form oracles by the ``media_*`` gate queries.  Remaining
+  declared stubs: inter-frame-predicted / transform codecs
+  (mp3/aac/h264) only; ``decode_payload(fake=True)`` keeps the
+  deterministic digest feature for those so the batch plumbing is
+  exercised end to end.
 """
 
 from __future__ import annotations
@@ -404,6 +409,162 @@ def synth_video_payload(doc_id: int) -> bytes:
     return b"".join(out)
 
 
+def synth_video_is_mjpeg(doc_id: int) -> bool:
+    """Which video docs (doc_id % 3 == 2) carry an MJPEG AVI instead
+    of an animated GIF — ``(doc_id // 3) % 2``, so successive video
+    docs alternate container/codec and both tiers stay populated."""
+    return (doc_id // 3) % 2 == 1
+
+
+def synth_mjpeg_is_color(doc_id: int) -> bool:
+    """Which MJPEG videos carry 3-component YCbCr frames (vs
+    grayscale) — ``(doc_id // 6) % 2``, oracle-shared arithmetic."""
+    return (doc_id // 6) % 2 == 1
+
+
+def synth_mjpeg_restart_interval(doc_id: int) -> int:
+    """DRI interval for MJPEG frames (0 = none): every other MJPEG doc
+    carries DRI=2 in every frame, so restart machinery is exercised in
+    the video tier too.  Restarts never change decoded pixels, so the
+    frame oracles are interval-blind."""
+    return 2 if (doc_id // 12) % 2 == 1 else 0
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    """One RIFF chunk: fourcc + little-endian size + body + pad byte
+    when the body length is odd (the pad is outside the stored size)."""
+    return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+
+def _riff_list(tag: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", tag + body)
+
+
+def synth_mjpeg_payload(doc_id: int) -> bytes:
+    """A *valid* MJPEG AVI — the honest compressed-video tier: RIFF
+    'AVI ' with a real header list (avih + vids/MJPG strh + 'MJPG'
+    BITMAPINFOHEADER strf), a movi list whose ``00dc`` chunks each hold
+    a complete baseline JPEG (entropy-coded by the same from-scratch
+    encoder as the still tier), and an idx1 index.  Frame f's quantized
+    coefficients are the JPEG closed forms of ``doc_id + 97 * f``;
+    :func:`synth_mjpeg_is_color` docs carry 3-component YCbCr frames,
+    :func:`synth_mjpeg_restart_interval` docs carry DRI+RSTn in every
+    frame."""
+    w, h, n_frames = synth_video_dims(doc_id)
+    color = synth_mjpeg_is_color(doc_id)
+    rsti = synth_mjpeg_restart_interval(doc_id)
+    jpegs = [
+        _jpeg_encode_image(doc_id + 97 * f, w, h, color, rsti)
+        for f in range(n_frames)
+    ]
+    avih = struct.pack(
+        "<14I", 100000, 0, 0, 0x10, n_frames, 0, 1, max(map(len, jpegs)),
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, n_frames,
+                      max(map(len, jpegs)), 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    idx = []
+    for j in jpegs:
+        idx.append((len(movi_body) - 4, len(j)))  # offset from after 'movi'
+        movi_body += _riff_chunk(b"00dc", j)
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off + 4, size)
+            for off, size in idx
+        ),
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def parse_avi(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """(width, height, [frame bytes]) from raw MJPEG-AVI bytes — pure
+    stdlib RIFF chunk walk, strict: a malformed header list, a stream
+    whose BITMAPINFOHEADER compression is not 'MJPG', a truncated
+    chunk, or a frame count disagreeing with avih.dwTotalFrames is a
+    loud ``None``, never a best-effort partial decode."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    if struct.unpack("<I", payload[4:8])[0] != len(payload) - 8:
+        return None
+
+    def walk(b: bytes, pos: int, end: int):
+        """Yield (fourcc, body_start, body_end) or raise ValueError."""
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError("truncated chunk header")
+            tag = b[pos:pos + 4]
+            size = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+            body = pos + 8
+            if body + size > end:
+                raise ValueError("truncated chunk body")
+            yield tag, body, body + size
+            pos = body + size + (size % 2)
+
+    w = h = total = None
+    frames: list[bytes] = []
+    saw_mjpg = saw_movi = False
+    try:
+        for tag, s, e in walk(payload, 12, len(payload)):
+            if tag != b"LIST":
+                continue
+            kind = payload[s:s + 4]
+            if kind == b"hdrl":
+                for t2, s2, e2 in walk(payload, s + 4, e):
+                    if t2 == b"avih":
+                        if e2 - s2 < 56:
+                            return None
+                        hdr = struct.unpack("<14I", payload[s2:s2 + 56])
+                        total, w, h = hdr[4], hdr[8], hdr[9]
+                    elif t2 == b"LIST" and payload[s2:s2 + 4] == b"strl":
+                        for t3, s3, e3 in walk(payload, s2 + 4, e2):
+                            if t3 == b"strf" and e3 - s3 >= 20:
+                                if payload[s3 + 16:s3 + 20] == b"MJPG":
+                                    saw_mjpg = True
+            elif kind == b"movi":
+                saw_movi = True
+                for t2, s2, e2 in walk(payload, s + 4, e):
+                    if t2 == b"00dc":
+                        frames.append(payload[s2:e2])
+    except ValueError:
+        return None
+    if w is None or not saw_mjpg or not saw_movi or len(frames) != total:
+        return None
+    return w, h, frames
+
+
+def decode_avi_frames(payload: bytes) -> list[np.ndarray] | None:
+    """All frames of an MJPEG AVI decoded for REAL — RIFF walk +
+    per-frame baseline-JPEG entropy decode (:func:`decode_jpeg_pixels`:
+    Huffman, dequant, fixed-point integer IDCT, YCbCr->RGB for color
+    frames).  Any undecodable frame or a frame whose raster disagrees
+    with the container dimensions is a loud ``None``."""
+    parsed = parse_avi(payload)
+    if parsed is None:
+        return None
+    w, h, raw = parsed
+    out = []
+    for j in raw:
+        px = decode_jpeg_pixels(j)
+        if px is None or px.shape[0] != h or px.shape[1] != w:
+            return None
+        out.append(px)
+    return out
+
+
 def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     """(fmt, width, height) from raw container bytes — pure stdlib, no
     codec.  Handles PNG (IHDR), JPEG (marker walk to any SOFn, skipping
@@ -760,8 +921,22 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
     :func:`synth_jpeg_restart_interval` docs additionally carry DRI
     with real RSTn boundaries (byte-aligned, predictors reset)."""
     _, w, h = synth_dims(doc_id)
-    color = synth_jpeg_is_color(doc_id)
-    rsti = synth_jpeg_restart_interval(doc_id)
+    return _jpeg_encode_image(
+        doc_id,
+        w,
+        h,
+        synth_jpeg_is_color(doc_id),
+        synth_jpeg_restart_interval(doc_id),
+    )
+
+
+def _jpeg_encode_image(ident: int, w: int, h: int, color: bool, rsti: int) -> bytes:
+    """Entropy-code one baseline-sequential JPEG image whose quantized
+    coefficients are the :func:`synth_jpeg_coeffs` /
+    :func:`synth_jpeg_chroma_coeffs` closed forms of ``ident`` — shared
+    by the still-image tier (``ident = doc_id``) and the MJPEG video
+    frames (``ident = doc_id + 97 * frame_idx``)."""
+    doc_id = ident
     dc_code = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_code = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     if color:
@@ -1208,6 +1383,212 @@ def decode_wav_samples(payload: bytes) -> np.ndarray | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAVE format 0x0011): a REAL compressed-audio codec, from
+# scratch.  4-bit differential quantization with the public 89-entry
+# step table (IMA/DVI spec; the same tables every production decoder
+# carries).  Encode and decode share the predictor recurrence, so the
+# reconstructed stream is a deterministic integer function of the
+# closed-form input — the media_audio oracle replays the identical
+# recurrence in a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def synth_audio_is_adpcm(doc_id: int) -> bool:
+    """Which audio docs (doc_id % 3 == 1) carry an IMA-ADPCM WAV
+    instead of PCM16 — ``(doc_id // 6) % 2``; combined with the
+    mono/stereo alternation (``(doc_id // 3) % 2``) all four
+    codec x channel-count combinations stay populated."""
+    return (doc_id // 6) % 2 == 1
+
+
+def synth_adpcm_step_index(doc_id: int, ch: int) -> int:
+    """Closed-form initial step index carried in channel ch's block
+    header — ``(doc_id + 7 * ch) % 89``, oracle-shared arithmetic, so
+    the whole step-table range is exercised across the population."""
+    return (doc_id + 7 * ch) % 89
+
+
+def _ima_quantize(diff: int, step: int) -> tuple[int, int]:
+    """One IMA quantization: (nibble sans sign bit, reconstructed
+    |delta|) — shared by the encoder and the test reference."""
+    delta, diffq = 0, step >> 3
+    if diff >= step:
+        delta, diff, diffq = delta | 4, diff - step, diffq + step
+    if diff >= step >> 1:
+        delta, diff, diffq = delta | 2, diff - (step >> 1), diffq + (step >> 1)
+    if diff >= step >> 2:
+        delta, diffq = delta | 1, diffq + (step >> 2)
+    return delta, diffq
+
+
+def synth_adpcm_payload(doc_id: int) -> bytes:
+    """A *valid* IMA-ADPCM RIFF/WAVE container (format 0x0011): fmt
+    chunk with wSamplesPerBlock, the mandatory fact chunk
+    (dwSampleLength), and a single data block — per-channel 4-byte
+    headers (predictor = closed-form sample 0, step index =
+    :func:`synth_adpcm_step_index`) followed by channel-interleaved
+    4-byte nibble words, samples 1..n-1 encoded with the real IMA
+    recurrence, spare nibbles zero-padded."""
+    nch, rate, n = synth_audio_dims(doc_id)
+    words = (n - 1 + 7) // 8  # 8 samples per 4-byte word per channel
+    block_align = 4 * nch * (1 + words)
+    spb = 1 + 8 * words
+    heads, chans = [], []
+    for ch in range(nch):
+        pred = synth_sample(doc_id, 0, ch)
+        sidx = synth_adpcm_step_index(doc_id, ch)
+        heads.append(struct.pack("<hBB", pred, sidx, 0))
+        nibs = []
+        for i in range(1, n):
+            step = _IMA_STEP_TABLE[sidx]
+            diff = synth_sample(doc_id, i, ch) - pred
+            sign = 8 if diff < 0 else 0
+            delta, diffq = _ima_quantize(-diff if sign else diff, step)
+            pred = max(-32768, min(32767, pred + (-diffq if sign else diffq)))
+            sidx = max(0, min(88, sidx + _IMA_INDEX_TABLE[delta]))
+            nibs.append(sign | delta)
+        nibs += [0] * (8 * words - len(nibs))
+        chans.append([
+            bytes(
+                nibs[w * 8 + 2 * b] | (nibs[w * 8 + 2 * b + 1] << 4)
+                for b in range(4)
+            )
+            for w in range(words)
+        ])
+    data = b"".join(heads) + b"".join(
+        chans[ch][w] for w in range(words) for ch in range(nch)
+    )
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, nch, rate, rate * block_align // spb,
+        block_align, 4, 2, spb,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_adpcm_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(n_channels, sample_rate, bits=4, n_samples) from raw IMA-ADPCM
+    WAVE bytes — strict: format tag 0x0011, 4-bit samples, a
+    wSamplesPerBlock consistent with nBlockAlign, and the mandatory
+    fact chunk; ``None`` otherwise — never raises."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, fact, data_len = 12, None, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if tag == b"fmt " and length >= 20:
+            fmt = struct.unpack("<HHIIHHHH", body[:20])
+        elif tag == b"fact" and length >= 4:
+            (fact,) = struct.unpack("<I", body[:4])
+        elif tag == b"data":
+            data_len = length
+        pos += 8 + length + (length & 1)
+    if fmt is None or fact is None or data_len is None:
+        return None
+    tag16, nch, rate, _, block_align, bits, cb, spb = fmt
+    if tag16 != 0x11 or bits != 4 or cb < 2 or nch not in (1, 2):
+        return None
+    if block_align <= 4 * nch or (block_align - 4 * nch) % (4 * nch):
+        return None
+    if spb != 1 + (block_align - 4 * nch) * 2 // nch:
+        return None
+    if data_len % block_align:
+        return None
+    if fact > (data_len // block_align) * spb:
+        return None
+    return nch, rate, 4, fact
+
+
+def decode_adpcm_samples(payload: bytes) -> np.ndarray | None:
+    """Real IMA-ADPCM decode: returns an (n_samples, n_channels) int16
+    array reconstructed with the public step-table recurrence, or
+    ``None`` for malformed containers.  Block-structured: each block
+    re-seeds predictor and step index from its per-channel headers, so
+    a 100 TB corpus of long recordings decodes block-parallel."""
+    hdr = parse_adpcm_header(payload)
+    if hdr is None:
+        return None
+    nch, _, _, n = hdr
+    b, pos = payload, 12
+    data = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if tag == b"data":
+            data = b[pos + 8 : pos + 8 + length]
+            break
+        pos += 8 + length + (length & 1)
+    if data is None:
+        return None
+    fmt_pos = b.find(b"fmt ")
+    block_align, spb = struct.unpack(
+        "<HH", b[fmt_pos + 20 : fmt_pos + 22] + b[fmt_pos + 26 : fmt_pos + 28]
+    )
+    out = np.empty((n, nch), dtype=np.int16)
+    done = 0
+    for boff in range(0, len(data), block_align):
+        if done >= n:
+            break
+        block = data[boff : boff + block_align]
+        take = min(spb, n - done)
+        for ch in range(nch):
+            pred, sidx, _ = struct.unpack_from("<hBB", block, 4 * ch)
+            if sidx > 88:
+                return None
+            out[done, ch] = pred
+            # channel ch's nibble words are every nch-th 4-byte word
+            words = block[4 * nch :]
+            k = 1
+            for w in range(4 * ch, len(words), 4 * nch):
+                if k >= take:
+                    break
+                for byte in words[w : w + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        if k >= take:
+                            break
+                        step = _IMA_STEP_TABLE[sidx]
+                        diffq = step >> 3
+                        if nib & 4:
+                            diffq += step
+                        if nib & 2:
+                            diffq += step >> 1
+                        if nib & 1:
+                            diffq += step >> 2
+                        pred = max(
+                            -32768,
+                            min(32767, pred + (-diffq if nib & 8 else diffq)),
+                        )
+                        sidx = max(0, min(88, sidx + _IMA_INDEX_TABLE[nib & 7]))
+                        out[done + k, ch] = pred
+                        k += 1
+        done += take
+    if done < n:
+        return None
+    return out
+
+
 AUDIO_STATS_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("n_channels", T.IntegerType()),
@@ -1230,6 +1611,9 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
                 p = bytes(p)
                 hdr = parse_audio_header(p)
                 s = decode_wav_samples(p)
+                if s is None:
+                    hdr = parse_adpcm_header(p)
+                    s = decode_adpcm_samples(p)
                 if hdr is None or s is None:
                     rows.append((int(mid), -1, -1, 0, 0, -1))
                 else:
@@ -1249,8 +1633,11 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
 
 
 def media_audio_from_documents(docs: DataFrame) -> DataFrame:
-    """The audio slice of the media table with *real* WAV bytes
-    (doc_id % 3 == 1, the 'audio' kind population)."""
+    """The audio slice of the media table (doc_id % 3 == 1, the
+    'audio' kind population) with *real* WAV bytes: alternating docs
+    carry PCM16 or IMA-ADPCM containers
+    (:func:`synth_audio_is_adpcm`), so both the uncompressed and the
+    compressed codec paths stay populated."""
     auds = docs.filter(F.col("doc_id") % 3 == 1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1260,7 +1647,10 @@ def media_audio_from_documents(docs: DataFrame) -> DataFrame:
                     "media_id": pdf["doc_id"].astype("int64"),
                     "kind": "audio",
                     "payload": [
-                        synth_audio_payload(int(d)) for d in pdf["doc_id"]
+                        synth_adpcm_payload(int(d))
+                        if synth_audio_is_adpcm(int(d))
+                        else synth_audio_payload(int(d))
+                        for d in pdf["doc_id"]
                     ],
                 }
             )
@@ -1298,6 +1688,8 @@ def frame_sample_stats(media: DataFrame, every_k: int = 2) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 frames = decode_gif_frames(bytes(p))
                 if frames is None:
+                    frames = decode_avi_frames(bytes(p))
+                if frames is None:
                     rows.append((int(mid), -1, -1, -1, 0))
                     continue
                 for fi in range(0, len(frames), every_k):
@@ -1317,8 +1709,11 @@ def frame_sample_stats(media: DataFrame, every_k: int = 2) -> DataFrame:
 
 
 def media_video_from_documents(docs: DataFrame) -> DataFrame:
-    """The video slice of the media table with *real* animated-GIF
-    bytes (doc_id % 3 == 2, the 'video' kind population)."""
+    """The video slice of the media table (doc_id % 3 == 2, the
+    'video' kind population) with *real* container bytes: alternating
+    docs carry an animated GIF or an MJPEG AVI
+    (:func:`synth_video_is_mjpeg`), so both the palette-LZW and the
+    per-frame-JPEG codec paths stay populated."""
     vids = docs.filter(F.col("doc_id") % 3 == 2)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1328,7 +1723,10 @@ def media_video_from_documents(docs: DataFrame) -> DataFrame:
                     "media_id": pdf["doc_id"].astype("int64"),
                     "kind": "video",
                     "payload": [
-                        synth_video_payload(int(d)) for d in pdf["doc_id"]
+                        synth_mjpeg_payload(int(d))
+                        if synth_video_is_mjpeg(int(d))
+                        else synth_video_payload(int(d))
+                        for d in pdf["doc_id"]
                     ],
                 }
             )
@@ -1461,22 +1859,31 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
       (``decode_png_pixels`` / ``decode_gif_pixels`` /
       ``decode_jpeg_pixels``): the feature is the normalized 8-bin
       intensity histogram of the raster.
+    * MJPEG AVI videos decode for real (``decode_avi_frames``):
+      histogram over all frames' pixels.
     * PCM16 WAV payloads decode for real (``decode_wav_samples``):
       8-bin sample-amplitude histogram.
-    * Compressed audio/video codecs (mp3/aac/h264/...) are declared
-      STUBS — no ffmpeg/torchaudio in this environment; ``fake=True``
-      yields a deterministic digest feature of the same batch shape,
-      so the distributed plumbing is fully exercised either way."""
+    * Inter-frame-predicted / transform audio codecs (mp3/aac/h264
+      motion compensation/...) are declared STUBS — no
+      ffmpeg/torchaudio in this environment; ``fake=True`` yields a
+      deterministic digest feature of the same batch shape, so the
+      distributed plumbing is fully exercised either way."""
     if not fake:
         px = decode_png_pixels(payload)
         if px is None:
             px = decode_gif_pixels(payload)
         if px is None:
             px = decode_jpeg_pixels(payload)
+        if px is None:
+            frames = decode_avi_frames(payload)
+            if frames is not None:
+                px = np.concatenate([f.reshape(-1) for f in frames])
         if px is not None:
             hist, _ = np.histogram(px.reshape(-1), bins=8, range=(0, 256))
             return (hist / px.size).astype(np.float32)
         s = decode_wav_samples(payload)
+        if s is None:
+            s = decode_adpcm_samples(payload)
         if s is not None:
             hist, _ = np.histogram(s.reshape(-1), bins=8, range=(-32768, 32768))
             return (hist / s.size).astype(np.float32)

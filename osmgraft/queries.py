@@ -1610,12 +1610,17 @@ def media_stats(spark, sf_dir):
 # bracketed lists are the 10-bit cosine tables K[1][t] and K[2][t];
 # FLOOR((s + 2^21)/2^22) reproduces the arithmetic right shift exactly
 # (doubles are exact far beyond |s| < 2^31).
+# IMA-ADPCM 89-entry step table (public IMA/DVI spec) as a SQL array
+# literal — shared arithmetic with multimodal._IMA_STEP_TABLE.
+from .multimodal import _IMA_STEP_TABLE as _IMA_STEPS
+_IMA_STEPS_SQL = "[" + ",".join(map(str, _IMA_STEPS)) + "]"
+
 _JPEG_PX_SQL = (
     "LEAST(255, GREATEST(0, 128 + CAST(FLOOR(("
-    "(((i.doc_id + 3 * ({x} // 8) + 5 * ({y} // 8)) % 32) - 16) * 33547264"
-    " + (((i.doc_id + ({x} // 8) + 2 * ({y} // 8)) % 7) - 3) * 7240"
+    "((({d} + 3 * ({x} // 8) + 5 * ({y} // 8)) % 32) - 16) * 33547264"
+    " + ((({d} + ({x} // 8) + 2 * ({y} // 8)) % 7) - 3) * 7240"
     "   * ([1004, 851, 569, 200, -200, -569, -851, -1004])[({y} % 8) + 1]"
-    " + (((i.doc_id + 2 * ({x} // 8) + ({y} // 8)) % 5) - 2) * 8688"
+    " + ((({d} + 2 * ({x} // 8) + ({y} // 8)) % 5) - 2) * 8688"
     "   * ([946, 392, -392, -946, -946, -392, 392, 946])[({x} % 8) + 1]"
     " + 2097152) / 4194304.0) AS BIGINT)))"
 )
@@ -1624,19 +1629,19 @@ _JPEG_PX_SQL = (
 # chroma quant table: 20967040 = 40*724^2, 5792 = 8*724, 7240 = 10*724).
 _JPEG_CB_SQL = (
     "LEAST(255, GREATEST(0, 128 + CAST(FLOOR(("
-    "(((i.doc_id + 5 * ({x} // 8) + 3 * ({y} // 8)) % 24) - 12) * 20967040"
-    " + (((i.doc_id + 3 * ({x} // 8) + ({y} // 8)) % 5) - 2) * 5792"
+    "((({d} + 5 * ({x} // 8) + 3 * ({y} // 8)) % 24) - 12) * 20967040"
+    " + ((({d} + 3 * ({x} // 8) + ({y} // 8)) % 5) - 2) * 5792"
     "   * ([1004, 851, 569, 200, -200, -569, -851, -1004])[({y} % 8) + 1]"
-    " + (((i.doc_id + ({x} // 8) + 3 * ({y} // 8)) % 3) - 1) * 7240"
+    " + ((({d} + ({x} // 8) + 3 * ({y} // 8)) % 3) - 1) * 7240"
     "   * ([946, 392, -392, -946, -946, -392, 392, 946])[({x} % 8) + 1]"
     " + 2097152) / 4194304.0) AS BIGINT)))"
 )
 _JPEG_CR_SQL = (
     "LEAST(255, GREATEST(0, 128 + CAST(FLOOR(("
-    "(((i.doc_id + 7 * ({x} // 8) + ({y} // 8)) % 24) - 12) * 20967040"
-    " + (((2 * i.doc_id + ({x} // 8) + ({y} // 8)) % 5) - 2) * 5792"
+    "((({d} + 7 * ({x} // 8) + ({y} // 8)) % 24) - 12) * 20967040"
+    " + (((2 * {d} + ({x} // 8) + ({y} // 8)) % 5) - 2) * 5792"
     "   * ([1004, 851, 569, 200, -200, -569, -851, -1004])[({y} % 8) + 1]"
-    " + (((i.doc_id + 4 * ({x} // 8) + 2 * ({y} // 8)) % 3) - 1) * 7240"
+    " + ((({d} + 4 * ({x} // 8) + 2 * ({y} // 8)) % 3) - 1) * 7240"
     "   * ([946, 392, -392, -946, -946, -392, 392, 946])[({x} % 8) + 1]"
     " + 2097152) / 4194304.0) AS BIGINT)))"
 )
@@ -1695,11 +1700,11 @@ def media_dimensions(spark, sf_dir):
     base AS (
       SELECT i.doc_id, i.is_png, i.is_gif, i.is_jpg, i.is_color, x.x, y.y,
              CASE WHEN i.is_jpg
-                  THEN {_JPEG_PX_SQL.format(x="x.x", y="y.y")} END AS yv,
+                  THEN {_JPEG_PX_SQL.format(d="i.doc_id", x="x.x", y="y.y")} END AS yv,
              CASE WHEN i.is_jpg AND i.is_color
-                  THEN {_JPEG_CB_SQL.format(x="x.x", y="y.y")} - 128 END AS cbv,
+                  THEN {_JPEG_CB_SQL.format(d="i.doc_id", x="x.x", y="y.y")} - 128 END AS cbv,
              CASE WHEN i.is_jpg AND i.is_color
-                  THEN {_JPEG_CR_SQL.format(x="x.x", y="y.y")} - 128 END AS crv
+                  THEN {_JPEG_CR_SQL.format(d="i.doc_id", x="x.x", y="y.y")} - 128 END AS crv
       FROM img i,
            UNNEST(generate_series(0, 63)) x(x),
            UNNEST(generate_series(0, 47)) y(y)
@@ -1757,24 +1762,80 @@ def media_pixels(spark, sf_dir):
 
 @_register(
     "media_audio",
-    """
-    WITH aud AS (
+    f"""
+    WITH RECURSIVE aud AS (
       SELECT doc_id,
              1 + (doc_id // 3) % 2 AS nch,
              8000 + 100 * (doc_id % 40) AS rate,
-             1 + (doc_id * 11) % 480 AS n
+             1 + (doc_id * 11) % 480 AS n,
+             (doc_id // 6) % 2 = 1 AS is_adpcm
       FROM documents WHERE doc_id % 3 = 1
     ),
-    vals AS (
+    pcm AS (
       SELECT a.doc_id,
              SUM((a.doc_id + 31 * i.i + 17 * c.c) % 61681 - 30840) AS s,
              MAX((a.doc_id + 31 * i.i + 17 * c.c) % 61681 - 30840) AS mx
       FROM aud a,
            UNNEST(generate_series(0, 479)) i(i),
            UNNEST(generate_series(0, 1)) c(c)
-      WHERE i.i < a.n AND c.c < a.nch
+      WHERE NOT a.is_adpcm AND i.i < a.n AND c.c < a.nch
       GROUP BY 1
-    )
+    ),
+    -- IMA-ADPCM reconstruction: the exact integer recurrence of
+    -- multimodal.decode_adpcm_samples (public 89-entry step table),
+    -- iterated per (doc, channel) — state (k, pred, sidx), running
+    -- sum/max of the reconstructed samples
+    st AS (
+      SELECT a.doc_id, c.c AS ch, a.n, 1 AS k,
+             CAST((a.doc_id + 17 * c.c) % 61681 - 30840 AS BIGINT) AS pred,
+             CAST((a.doc_id + 7 * c.c) % 89 AS BIGINT) AS sidx,
+             CAST((a.doc_id + 17 * c.c) % 61681 - 30840 AS BIGINT) AS ssum,
+             CAST((a.doc_id + 17 * c.c) % 61681 - 30840 AS BIGINT) AS smax
+      FROM aud a, UNNEST(generate_series(0, 1)) c(c)
+      WHERE a.is_adpcm AND c.c < a.nch
+      UNION ALL
+      SELECT doc_id, ch, n, k + 1,
+             pred2,
+             LEAST(88, GREATEST(0,
+                 sidx + ([-1,-1,-1,-1,2,4,6,8])[CAST(delta AS INT) + 1])),
+             ssum + pred2,
+             GREATEST(smax, pred2)
+      FROM (
+        SELECT *, GREATEST(-32768, LEAST(32767,
+               pred + CASE WHEN sgn THEN -diffq ELSE diffq END)) AS pred2
+        FROM (
+          SELECT *,
+                 4 * CAST(b2 AS BIGINT) + 2 * CAST(b1 AS BIGINT)
+                   + CAST(m3 >= step // 4 AS BIGINT) AS delta,
+                 step // 8 + CASE WHEN b2 THEN step ELSE 0 END
+                   + CASE WHEN b1 THEN step // 2 ELSE 0 END
+                   + CASE WHEN m3 >= step // 4 THEN step // 4 ELSE 0 END AS diffq
+          FROM (
+            SELECT *, m2 >= step // 2 AS b1,
+                   m2 - CASE WHEN m2 >= step // 2 THEN step // 2 ELSE 0 END AS m3
+            FROM (
+              SELECT *, mag >= step AS b2,
+                     mag - CASE WHEN mag >= step THEN step ELSE 0 END AS m2
+              FROM (
+                SELECT *, diff < 0 AS sgn,
+                       CASE WHEN diff < 0 THEN -diff ELSE diff END AS mag
+                FROM (
+                  SELECT *,
+                         ((doc_id + 31 * k + 17 * ch) % 61681 - 30840) - pred AS diff,
+                         ({_IMA_STEPS_SQL})[CAST(sidx AS INT) + 1] AS step
+                  FROM st WHERE k < n
+                )
+              )
+            )
+          )
+        )
+      )
+    ),
+    adp AS (
+      SELECT doc_id, SUM(ssum) AS s, MAX(smax) AS mx
+      FROM st WHERE k = n GROUP BY 1
+    ),
+    vals AS (SELECT * FROM pcm UNION ALL SELECT * FROM adp)
     SELECT a.doc_id AS media_id,
            CAST(a.nch AS INT) AS n_channels,
            CAST(a.rate AS INT) AS sample_rate,
@@ -1785,13 +1846,18 @@ def media_pixels(spark, sf_dir):
     """,
 )
 def media_audio(spark, sf_dir):
-    """REAL audio decode for the WAV tier: valid PCM16 RIFF containers
-    with a deterministic sample stream (``synth_sample``) are
-    synthesized per audio doc, the Spark path walks the RIFF chunks and
-    decodes the interleaved PCM frames (``decode_wav_samples``), and
-    the oracle recomputes integer sample sums from the closed-form
-    arithmetic — covering the synth -> container -> Arrow -> chunk-walk
-    -> decode path end to end.  Compressed codecs stay declared stubs."""
+    """REAL audio decode for the WAV tier: alternating audio docs carry
+    valid PCM16 or IMA-ADPCM (format 0x0011) RIFF containers
+    (``synth_audio_is_adpcm``); the Spark path walks the RIFF chunks
+    and decodes interleaved PCM frames (``decode_wav_samples``) or the
+    4-bit compressed stream (``decode_adpcm_samples`` — real IMA
+    step-table recurrence, block headers, channel-interleaved nibble
+    words).  The oracle recomputes PCM sums from the closed-form sample
+    arithmetic and ADPCM sums by replaying the identical integer
+    encode+decode recurrence in a recursive CTE — so a one-bit
+    divergence anywhere in quantize -> pack -> container -> unpack ->
+    reconstruct fails the gate.  Remaining declared stubs: transform /
+    inter-frame-predicted codecs (mp3/aac/h264) only."""
     from . import multimodal
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2569,36 +2635,68 @@ def dedup_clusters(spark, sf_dir):
 
 @_register(
     "media_frames",
-    """
+    f"""
     WITH vid AS (
       SELECT doc_id, 1 + doc_id % 32 AS w, 1 + (doc_id * 5) % 24 AS h,
-             2 + doc_id % 4 AS nf
+             2 + doc_id % 4 AS nf,
+             (doc_id // 3) % 2 = 1 AS is_avi,
+             (doc_id // 6) % 2 = 1 AS is_color
       FROM documents WHERE doc_id % 3 = 2
     ),
     fr AS (
-      SELECT v.doc_id, v.w, v.h, f.f AS frame_idx
+      SELECT v.doc_id, v.w, v.h, v.is_avi, v.is_color, f.f AS frame_idx
       FROM vid v, UNNEST(generate_series(0, 5)) f(f)
       WHERE f.f < v.nf AND f.f % 2 = 0
+    ),
+    base AS (
+      SELECT fr.doc_id, fr.w, fr.h, fr.frame_idx, fr.is_avi, fr.is_color,
+             x.x, y.y,
+             CASE WHEN fr.is_avi THEN {_JPEG_PX_SQL.format(
+                 d="(fr.doc_id + 97 * fr.frame_idx)", x="x.x", y="y.y")}
+             END AS yv,
+             CASE WHEN fr.is_avi AND fr.is_color THEN {_JPEG_CB_SQL.format(
+                 d="(fr.doc_id + 97 * fr.frame_idx)", x="x.x", y="y.y")} - 128
+             END AS cbv,
+             CASE WHEN fr.is_avi AND fr.is_color THEN {_JPEG_CR_SQL.format(
+                 d="(fr.doc_id + 97 * fr.frame_idx)", x="x.x", y="y.y")} - 128
+             END AS crv
+      FROM fr,
+           UNNEST(generate_series(0, 31)) x(x),
+           UNNEST(generate_series(0, 23)) y(y)
+      WHERE x.x < fr.w AND y.y < fr.h
+    ),
+    px AS (
+      SELECT b.doc_id, b.frame_idx, b.w, b.h,
+             CASE WHEN NOT b.is_avi
+                 THEN (60 * ((b.x + 2 * b.y + b.doc_id + 5 * b.frame_idx) % 4)
+                       + 20 * c.c + 7) % 256
+             WHEN NOT b.is_color THEN b.yv
+             ELSE {_JPEG_RGB_SQL.format(c="c.c", yv="b.yv",
+                                        cbv="b.cbv", crv="b.crv")}
+             END AS v
+      FROM base b, UNNEST(generate_series(0, 2)) c(c)
+      WHERE c.c = 0 OR NOT b.is_avi OR b.is_color
     )
-    SELECT fr.doc_id AS media_id,
-           CAST(fr.frame_idx AS INT) AS frame_idx,
-           CAST(fr.w AS INT) AS width, CAST(fr.h AS INT) AS height,
-           CAST(SUM((60 * ((x.x + 2 * y.y + fr.doc_id + 5 * fr.frame_idx) % 4)
-                     + 20 * c.c + 7) % 256) AS BIGINT) AS px_sum
-    FROM fr,
-         UNNEST(generate_series(0, 31)) x(x),
-         UNNEST(generate_series(0, 23)) y(y),
-         UNNEST(generate_series(0, 2)) c(c)
-    WHERE x.x < fr.w AND y.y < fr.h
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum
+    FROM px
     GROUP BY 1, 2, 3, 4
     """,
 )
 def media_frames(spark, sf_dir):
-    """Frame sampling over the video tier: every video doc carries a
-    genuine multi-frame animated GIF (per-frame LZW image blocks +
-    graphic-control extensions); the Spark path decodes all frames and
-    keeps every 2nd one; the oracle recomputes per-frame pixel sums
-    from the closed-form raster arithmetic."""
+    """Frame sampling over the video tier: alternating video docs
+    carry a genuine multi-frame animated GIF (per-frame LZW image
+    blocks + graphic-control extensions) or an MJPEG AVI whose
+    ``00dc`` chunks each hold a complete baseline JPEG (grayscale or
+    3-component YCbCr per ``synth_mjpeg_is_color``, restart markers
+    per ``synth_mjpeg_restart_interval``); the Spark path decodes all
+    frames for real and keeps every 2nd one.  The oracle recomputes
+    per-frame pixel sums from the closed-form raster arithmetic — the
+    GIF palette formula for the LZW tier, the integer IDCT (+ JFIF
+    color transform) of frame coefficient id ``doc_id + 97 * f`` for
+    the MJPEG tier."""
     from . import multimodal
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2621,12 +2719,12 @@ def media_frames(spark, sf_dir):
     base AS (
       SELECT i.doc_id, i.is_png, i.is_gif, i.is_jpg, i.is_color,
              (x.x * i.w) // 8 AS sx, (y.y * i.h) // 8 AS sy,
-             CASE WHEN i.is_jpg THEN {_JPEG_PX_SQL.format(
+             CASE WHEN i.is_jpg THEN {_JPEG_PX_SQL.format(d="i.doc_id",
                  x="((x.x * i.w) // 8)", y="((y.y * i.h) // 8)")} END AS yv,
-             CASE WHEN i.is_jpg AND i.is_color THEN {_JPEG_CB_SQL.format(
+             CASE WHEN i.is_jpg AND i.is_color THEN {_JPEG_CB_SQL.format(d="i.doc_id",
                  x="((x.x * i.w) // 8)", y="((y.y * i.h) // 8)")} - 128
              END AS cbv,
-             CASE WHEN i.is_jpg AND i.is_color THEN {_JPEG_CR_SQL.format(
+             CASE WHEN i.is_jpg AND i.is_color THEN {_JPEG_CR_SQL.format(d="i.doc_id",
                  x="((x.x * i.w) // 8)", y="((y.y * i.h) // 8)")} - 128
              END AS crv
       FROM img i,

@@ -469,3 +469,218 @@ def test_jpeg_payload_parses_with_stdlib_header_walk():
         assert multimodal.parse_image_header(
             multimodal.synth_jpeg_payload(doc_id)
         ) == ("jpeg", w, h)
+
+
+def _jpeg_plane_wh(ident, w, h, coeff_fn, q0, q2, q5):
+    """_jpeg_plane with explicit dimensions (MJPEG frames take their
+    size from the video closed form, not synth_dims)."""
+    import numpy as np
+
+    K1 = [1004, 851, 569, 200, -200, -569, -851, -1004]
+    K2 = [946, 392, -392, -946, -946, -392, 392, 946]
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            dc, a2, a5 = coeff_fn(ident, x // 8, y // 8)
+            s = (
+                dc * q0 * 724 * 724
+                + a2 * q2 * 724 * K1[y % 8]
+                + a5 * q5 * 724 * K2[x % 8]
+            )
+            out[y, x] = min(255, max(0, 128 + ((s + (1 << 21)) >> 22)))
+    return out
+
+
+def _mjpeg_closed_form_frame(doc_id, f):
+    w, h, _ = multimodal.synth_video_dims(doc_id)
+    ident = doc_id + 97 * f
+    yv = _jpeg_plane_wh(ident, w, h, multimodal.synth_jpeg_coeffs, 64, 10, 12)
+    if not multimodal.synth_mjpeg_is_color(doc_id):
+        return yv
+    cb = _jpeg_plane_wh(
+        ident, w, h,
+        lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[0],
+        40, 8, 10,
+    )
+    cr = _jpeg_plane_wh(
+        ident, w, h,
+        lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[1],
+        40, 8, 10,
+    )
+    return multimodal._ycbcr_to_rgb(yv, cb, cr)
+
+
+def test_mjpeg_avi_roundtrip_exact():
+    # RIFF AVI container walk + per-frame baseline-JPEG entropy decode
+    # must be BIT-EXACT against the coefficient-space closed form for
+    # every frame — gray and color docs, restart and no-restart docs
+    import numpy as np
+
+    saw_color = saw_gray = saw_rst = False
+    for doc_id in (5, 11, 17, 23, 29, 35, 305, 1001):
+        if doc_id % 3 != 2 or not multimodal.synth_video_is_mjpeg(doc_id):
+            continue
+        w, h, nf = multimodal.synth_video_dims(doc_id)
+        frames = multimodal.decode_avi_frames(
+            multimodal.synth_mjpeg_payload(doc_id)
+        )
+        assert frames is not None and len(frames) == nf
+        for f, fr in enumerate(frames):
+            cf = _mjpeg_closed_form_frame(doc_id, f)
+            assert fr.shape == cf.shape
+            assert np.array_equal(fr, cf), (doc_id, f)
+        if multimodal.synth_mjpeg_is_color(doc_id):
+            saw_color = True
+        else:
+            saw_gray = True
+        if multimodal.synth_mjpeg_restart_interval(doc_id):
+            saw_rst = True
+    assert saw_color and saw_gray and saw_rst
+
+
+def test_avi_parser_strictness():
+    # malformed containers are a loud None, never a partial decode
+    import struct as _s
+
+    p = multimodal.synth_mjpeg_payload(5)
+    assert multimodal.parse_avi(p) is not None
+    assert multimodal.parse_avi(p[:-5]) is None          # truncated tail
+    assert multimodal.parse_avi(p[:40]) is None          # truncated header
+    assert multimodal.parse_avi(b"RIFF\x04\x00\x00\x00AVI ") is None
+    # non-MJPG stream (strf biCompression) must be rejected
+    i = p.find(b"MJPG", p.find(b"strf"))
+    mut = bytearray(p)
+    mut[i:i + 4] = b"XVID"
+    assert multimodal.parse_avi(bytes(mut)) is None
+    # avih frame count disagreeing with the movi chunks must be rejected
+    j = p.find(b"avih") + 8 + 16
+    mut = bytearray(p)
+    mut[j] ^= 1
+    assert multimodal.parse_avi(bytes(mut)) is None
+    # an animated GIF is not an AVI
+    assert multimodal.decode_avi_frames(multimodal.synth_video_payload(2)) is None
+    # a frame whose decoded raster disagrees with the container dims is
+    # rejected: bump the first frame's SOF0 height 2 -> 8 (same MCU
+    # grid, so the JPEG itself still decodes — to the wrong shape)
+    w5, h5, _ = multimodal.synth_video_dims(5)
+    assert h5 == 2
+    k = p.find(b"\xff\xc0", p.find(b"00dc"))
+    assert _s.unpack(">H", p[k + 5:k + 7])[0] == h5
+    mut = bytearray(p)
+    mut[k + 5:k + 7] = _s.pack(">H", 8)
+    assert multimodal.parse_avi(bytes(mut)) is not None
+    assert multimodal.decode_avi_frames(bytes(mut)) is None
+
+
+def test_video_population_alternates_containers():
+    # successive video docs alternate GIF / MJPEG-AVI, and BOTH real
+    # decode paths feed frame_sample_stats through the same schema
+    gif_doc, avi_doc = 2, 5
+    assert not multimodal.synth_video_is_mjpeg(gif_doc)
+    assert multimodal.synth_video_is_mjpeg(avi_doc)
+    assert multimodal.decode_gif_frames(
+        multimodal.synth_video_payload(gif_doc)
+    ) is not None
+    assert multimodal.decode_avi_frames(
+        multimodal.synth_mjpeg_payload(avi_doc)
+    ) is not None
+
+
+def _adpcm_ref_reconstruct(doc_id):
+    """Independent reference: replay the IMA encoder recurrence over
+    the closed-form input (the same arithmetic the DuckDB oracle runs
+    in its recursive CTE)."""
+    import numpy as np
+
+    nch, _, n = multimodal.synth_audio_dims(doc_id)
+    out = np.empty((n, nch), dtype=np.int64)
+    for ch in range(nch):
+        pred = multimodal.synth_sample(doc_id, 0, ch)
+        sidx = multimodal.synth_adpcm_step_index(doc_id, ch)
+        out[0, ch] = pred
+        for i in range(1, n):
+            step = multimodal._IMA_STEP_TABLE[sidx]
+            diff = multimodal.synth_sample(doc_id, i, ch) - pred
+            sign = diff < 0
+            delta, diffq = multimodal._ima_quantize(
+                -diff if sign else diff, step
+            )
+            pred = max(-32768, min(32767, pred + (-diffq if sign else diffq)))
+            sidx = max(0, min(88, sidx + multimodal._IMA_INDEX_TABLE[delta]))
+            out[i, ch] = pred
+    return out
+
+
+def test_adpcm_roundtrip_exact():
+    # encode (quantize + nibble pack + container) -> decode (chunk
+    # walk + step-table recurrence) must be BIT-EXACT against the
+    # independent recurrence replay, mono and stereo — and genuinely
+    # LOSSY vs the original samples (it is a real compressed codec,
+    # not a pass-through)
+    import numpy as np
+
+    saw_mono = saw_stereo = False
+    any_lossy = False
+    for doc_id in (7, 10, 19, 22, 31, 34, 43, 1003):
+        assert doc_id % 3 == 1 and multimodal.synth_audio_is_adpcm(doc_id)
+        s = multimodal.decode_adpcm_samples(
+            multimodal.synth_adpcm_payload(doc_id)
+        )
+        ref = _adpcm_ref_reconstruct(doc_id)
+        assert s is not None and s.shape == ref.shape
+        assert np.array_equal(s, ref), doc_id
+        nch, _, n = multimodal.synth_audio_dims(doc_id)
+        orig = np.array(
+            [[multimodal.synth_sample(doc_id, i, ch) for ch in range(nch)]
+             for i in range(n)]
+        )
+        any_lossy = any_lossy or not np.array_equal(s, orig)
+        saw_mono = saw_mono or nch == 1
+        saw_stereo = saw_stereo or nch == 2
+    assert saw_mono and saw_stereo and any_lossy
+
+
+def test_adpcm_parser_strictness():
+    import struct as _s
+
+    p = multimodal.synth_adpcm_payload(7)
+    assert multimodal.decode_adpcm_samples(p) is not None
+    assert multimodal.decode_adpcm_samples(p[:-3]) is None   # truncated
+    # a PCM WAV is not ADPCM, and vice versa
+    assert multimodal.decode_adpcm_samples(multimodal.synth_audio_payload(1)) is None
+    assert multimodal.decode_wav_samples(p) is None
+    # the fact chunk (sample count) is mandatory for compressed WAVs
+    i = p.find(b"fact")
+    nofact = p[:i] + p[i + 12:]
+    nofact = nofact[:4] + _s.pack("<I", len(nofact) - 8) + nofact[8:]
+    assert multimodal.decode_adpcm_samples(nofact) is None
+    # wSamplesPerBlock inconsistent with nBlockAlign is rejected
+    mut = bytearray(p)
+    j = p.find(b"fmt ") + 26  # wSamplesPerBlock
+    mut[j:j + 2] = _s.pack("<H", _s.unpack("<H", p[j:j + 2])[0] + 1)
+    assert multimodal.decode_adpcm_samples(bytes(mut)) is None
+    # a block header step index > 88 is rejected
+    mut = bytearray(p)
+    k = p.find(b"data") + 8 + 2  # first channel header: pred(2) sidx(1)
+    mut[k] = 89
+    assert multimodal.decode_adpcm_samples(bytes(mut)) is None
+
+
+def test_audio_population_alternates_codecs():
+    # successive audio docs alternate PCM16 / IMA-ADPCM and both feed
+    # wav_sample_stats through the same schema
+    pcm_doc, adpcm_doc = 1, 7
+    assert not multimodal.synth_audio_is_adpcm(pcm_doc)
+    assert multimodal.synth_audio_is_adpcm(adpcm_doc)
+    assert multimodal.decode_wav_samples(
+        multimodal.synth_audio_payload(pcm_doc)
+    ) is not None
+    assert multimodal.decode_adpcm_samples(
+        multimodal.synth_adpcm_payload(adpcm_doc)
+    ) is not None
+    # all four codec x channel-count combinations occur in the population
+    combos = set()
+    for d in range(1, 200, 3):
+        nch, _, _ = multimodal.synth_audio_dims(d)
+        combos.add((multimodal.synth_audio_is_adpcm(d), nch))
+    assert combos == {(False, 1), (False, 2), (True, 1), (True, 2)}
