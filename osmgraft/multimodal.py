@@ -829,6 +829,17 @@ def synth_jpeg_chroma_coeffs(
     return cb, cr
 
 
+def synth_jpeg_is_subsampled(doc_id: int) -> bool:
+    """Which color JPEGs are 4:2:0 chroma-subsampled (Y sampling 2x2,
+    Cb/Cr 1x1 at half resolution) vs fully-sampled 1x1 — alternating
+    color docs via ``(doc_id // 18) % 2``, oracle-shared arithmetic.
+    4:2:0 is the dominant real-world JPEG layout; the decoder
+    upsamples chroma by pixel replication, so the decoded chroma value
+    at (x, y) is the half-resolution plane's closed form at
+    (x // 2, y // 2)."""
+    return synth_jpeg_is_color(doc_id) and (doc_id // 18) % 2 == 1
+
+
 def synth_jpeg_restart_interval(doc_id: int) -> int:
     """Restart interval (MCUs between RSTn markers; 0 = none) for a
     synthetic JPEG.  Every third JPEG doc carries DRI=2, so the restart
@@ -927,15 +938,21 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
         h,
         synth_jpeg_is_color(doc_id),
         synth_jpeg_restart_interval(doc_id),
+        synth_jpeg_is_subsampled(doc_id),
     )
 
 
-def _jpeg_encode_image(ident: int, w: int, h: int, color: bool, rsti: int) -> bytes:
+def _jpeg_encode_image(
+    ident: int, w: int, h: int, color: bool, rsti: int, subsamp: bool = False
+) -> bytes:
     """Entropy-code one baseline-sequential JPEG image whose quantized
     coefficients are the :func:`synth_jpeg_coeffs` /
     :func:`synth_jpeg_chroma_coeffs` closed forms of ``ident`` — shared
     by the still-image tier (``ident = doc_id``) and the MJPEG video
-    frames (``ident = doc_id + 97 * frame_idx``)."""
+    frames (``ident = doc_id + 97 * frame_idx``).  ``subsamp`` encodes
+    4:2:0 (Y sampling 2x2, interleaved MCUs of 4 luma + 1 Cb + 1 Cr
+    block; chroma block (bx, by) covers the half-resolution plane, so
+    its closed form is evaluated at half-res block coordinates)."""
     doc_id = ident
     dc_code = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_code = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -944,21 +961,50 @@ def _jpeg_encode_image(ident: int, w: int, h: int, color: bool, rsti: int) -> by
         ac2_code = _huff_canonical(_JPEG_AC2_BITS, _JPEG_AC_VALS)
     bw = _MsbBitWriter()
     preds = [0, 0, 0]
-    n_mcu = ((h + 7) // 8) * ((w + 7) // 8)
     mcu = 0
-    for by in range((h + 7) // 8):
-        for bx in range((w + 7) // 8):
-            preds[0] = _jpeg_encode_block(
-                bw, synth_jpeg_coeffs(doc_id, bx, by), dc_code, ac_code, preds[0]
-            )
-            if color:
-                cb, cr = synth_jpeg_chroma_coeffs(doc_id, bx, by)
+    if color and subsamp:
+        # 4:2:0: one MCU covers a 16x16 pixel area — 4 Y blocks in
+        # raster order, then one Cb and one Cr block of the half-res
+        # planes (half-res extent = ceil(w/2) x ceil(h/2))
+        mcux = (w + 15) // 16
+        mcuy = (h + 15) // 16
+        n_mcu = mcux * mcuy
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for dy in range(2):
+                    for dx in range(2):
+                        preds[0] = _jpeg_encode_block(
+                            bw,
+                            synth_jpeg_coeffs(doc_id, 2 * mx + dx, 2 * my + dy),
+                            dc_code, ac_code, preds[0],
+                        )
+                cb, cr = synth_jpeg_chroma_coeffs(doc_id, mx, my)
                 preds[1] = _jpeg_encode_block(bw, cb, dc2_code, ac2_code, preds[1])
                 preds[2] = _jpeg_encode_block(bw, cr, dc2_code, ac2_code, preds[2])
-            mcu += 1
-            if rsti and mcu % rsti == 0 and mcu < n_mcu:
-                bw.restart(mcu // rsti - 1)
-                preds = [0, 0, 0]
+                mcu += 1
+                if rsti and mcu % rsti == 0 and mcu < n_mcu:
+                    bw.restart(mcu // rsti - 1)
+                    preds = [0, 0, 0]
+    else:
+        n_mcu = ((h + 7) // 8) * ((w + 7) // 8)
+        for by in range((h + 7) // 8):
+            for bx in range((w + 7) // 8):
+                preds[0] = _jpeg_encode_block(
+                    bw, synth_jpeg_coeffs(doc_id, bx, by), dc_code, ac_code,
+                    preds[0],
+                )
+                if color:
+                    cb, cr = synth_jpeg_chroma_coeffs(doc_id, bx, by)
+                    preds[1] = _jpeg_encode_block(
+                        bw, cb, dc2_code, ac2_code, preds[1]
+                    )
+                    preds[2] = _jpeg_encode_block(
+                        bw, cr, dc2_code, ac2_code, preds[2]
+                    )
+                mcu += 1
+                if rsti and mcu % rsti == 0 and mcu < n_mcu:
+                    bw.restart(mcu // rsti - 1)
+                    preds = [0, 0, 0]
     scan = bw.finish()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -979,8 +1025,9 @@ def _jpeg_encode_image(ident: int, w: int, h: int, color: bool, rsti: int) -> by
             + seg(0xC4, bytes([0x01]) + bytes(_JPEG_DC2_BITS) + bytes(_JPEG_DC_VALS))
             + seg(0xC4, bytes([0x11]) + bytes(_JPEG_AC2_BITS) + bytes(_JPEG_AC_VALS))
         )
+        ysamp = 0x22 if subsamp else 0x11
         sof0 = struct.pack(">BHH", 8, h, w) + bytes(
-            [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+            [3, 1, ysamp, 0, 2, 0x11, 1, 3, 0x11, 1]
         )
         sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     else:
@@ -1077,6 +1124,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = -1
     comp_qmap: dict[int, int] = {}  # component id -> quant table id
+    comp_samp: dict[int, tuple[int, int]] = {}  # id -> (h, v) sampling
     comp_order: list[int] = []  # component ids in SOF order
     rsti = 0  # DRI restart interval (MCUs); 0 = no restarts
     i = 2
@@ -1139,10 +1187,14 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                 return None
             for ci in range(ncomp):
                 cid, samp, qtid = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    return None  # subsampled chroma: out of scope
+                sh, sv = samp >> 4, samp & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    return None
+                if ncomp == 1 and samp != 0x11:
+                    return None  # single-component: sampling is moot
                 comp_order.append(cid)
                 comp_qmap[cid] = qtid
+                comp_samp[cid] = (sh, sv)
         elif marker in _JPEG_SOF:
             return None  # progressive/extended: out of scope
         elif marker == 0xDD:  # DRI: restart interval in MCUs
@@ -1154,6 +1206,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
             if w < 0 or len(body) < 1 + 2 * ns + 3 or ns != len(comp_order):
                 return None
             comps = []  # (quant table, dc decode table, ac decode table)
+            samps = []  # (h, v) sampling factors, SOS order
             for ci in range(ns):
                 cid, tids = body[1 + 2 * ci], body[2 + 2 * ci]
                 dc_tab = htabs.get((0, tids >> 4))
@@ -1162,7 +1215,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                 if dc_tab is None or ac_tab is None or q is None:
                     return None
                 comps.append((q, dc_tab, ac_tab))
-            return _jpeg_decode_scan(b, i + 2 + seglen, w, h, comps, rsti)
+                samps.append(comp_samp[cid])
+            return _jpeg_decode_scan(b, i + 2 + seglen, w, h, comps, rsti, samps)
         i += 2 + seglen
     return None
 
@@ -1205,42 +1259,66 @@ def _jpeg_decode_block(br, q, dc_tab, ac_tab, pred):
     return d, pred
 
 
-def _jpeg_decode_scan(b, pos, w, h, comps, rsti=0):
-    """Interleaved-MCU scan decode (1x1 sampling: MCU = one block per
-    component, per-component DC predictors), fixed-point integer IDCT
-    per block, then level shift + clamp; 3-component output goes
-    through the integer-exact JFIF YCbCr->RGB transform.  With a DRI
-    interval, every ``rsti`` MCUs the reader byte-realigns, checks the
-    RST0..7 modulo sequence and resets every DC predictor."""
+def _jpeg_decode_scan(b, pos, w, h, comps, rsti=0, samps=None):
+    """Interleaved-MCU scan decode with general sampling factors: an
+    MCU carries h_i x v_i blocks per component in raster order
+    (1x1-only files degenerate to one block per component),
+    per-component DC predictors, fixed-point integer IDCT per block,
+    level shift + clamp.  Subsampled planes are upsampled to full
+    resolution by pixel replication (so a chroma value at (x, y) is
+    the half-res plane at (x//2, y//2) for 4:2:0); 3-component output
+    goes through the integer-exact JFIF YCbCr->RGB transform.  With a
+    DRI interval, every ``rsti`` MCUs the reader byte-realigns, checks
+    the RST0..7 modulo sequence and resets every DC predictor."""
     br = _MsbBitReader(b, pos)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
     ncomp = len(comps)
-    planes = np.zeros((ncomp, bh_ * 8, bw_ * 8), dtype=np.int64)
+    if samps is None:
+        samps = [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    if any(hmax % s[0] or vmax % s[1] for s in samps):
+        return None  # non-integer upsampling ratio: not a valid layout
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * sv, mcux * 8 * sh), dtype=np.int64)
+        for sh, sv in samps
+    ]
     half = 1 << (_JPEG_IDCT_SHIFT - 1)
     preds = [0] * ncomp
     mcu = 0
-    for by in range(bh_):
-        for bx in range(bw_):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if rsti and mcu and mcu % rsti == 0:
                 if not br.expect_restart(mcu // rsti - 1):
                     return None
                 preds = [0] * ncomp
             mcu += 1
             for ci, (q, dc_tab, ac_tab) in enumerate(comps):
-                r = _jpeg_decode_block(br, q, dc_tab, ac_tab, preds[ci])
-                if r is None:
-                    return None
-                d, preds[ci] = r
-                block = (
-                    _JPEG_K.T @ d @ _JPEG_K + half
-                ) >> _JPEG_IDCT_SHIFT  # P[y,x] = sum D[v,u] K[u,x] K[v,y]
-                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    np.clip(block + 128, 0, 255)
-                )
-    planes = planes[:, :h, :w]
+                sh, sv = samps[ci]
+                for dy in range(sv):
+                    for dx in range(sh):
+                        r = _jpeg_decode_block(br, q, dc_tab, ac_tab, preds[ci])
+                        if r is None:
+                            return None
+                        d, preds[ci] = r
+                        block = (
+                            _JPEG_K.T @ d @ _JPEG_K + half
+                        ) >> _JPEG_IDCT_SHIFT  # P[y,x] = sum D[v,u] K[u,x] K[v,y]
+                        y0 = (my * sv + dy) * 8
+                        x0 = (mx * sh + dx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                            block + 128, 0, 255
+                        )
+    full = []
+    for ci, (sh, sv) in enumerate(samps):
+        p = planes[ci]
+        if sh != hmax or sv != vmax:
+            p = np.repeat(np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1)
+        full.append(p[:h, :w])
     if ncomp == 1:
-        return planes[0].astype(np.uint8)
-    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+        return full[0].astype(np.uint8)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
 
 
 def _ycbcr_to_rgb(y, cb, cr):

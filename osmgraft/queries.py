@@ -1694,6 +1694,7 @@ def media_dimensions(spark, sf_dir):
              (doc_id // 3) % 3 = 2 AS is_gif,
              (doc_id // 3) % 3 = 1 AS is_jpg,
              (doc_id // 9) % 2 = 1 AS is_color,
+             (doc_id // 9) % 2 = 1 AND (doc_id // 18) % 2 = 1 AS is_sub,
              1 + doc_id % 64 AS w, 1 + (doc_id * 7) % 48 AS h
       FROM documents WHERE doc_id % 3 = 0
     ),
@@ -1701,9 +1702,15 @@ def media_dimensions(spark, sf_dir):
       SELECT i.doc_id, i.is_png, i.is_gif, i.is_jpg, i.is_color, x.x, y.y,
              CASE WHEN i.is_jpg
                   THEN {_JPEG_PX_SQL.format(d="i.doc_id", x="x.x", y="y.y")} END AS yv,
-             CASE WHEN i.is_jpg AND i.is_color
+             -- 4:2:0 docs (is_sub): chroma is the half-resolution
+             -- plane replicated, i.e. the closed form at (x//2, y//2)
+             CASE WHEN i.is_jpg AND i.is_sub
+                  THEN {_JPEG_CB_SQL.format(d="i.doc_id", x="(x.x // 2)", y="(y.y // 2)")} - 128
+             WHEN i.is_jpg AND i.is_color
                   THEN {_JPEG_CB_SQL.format(d="i.doc_id", x="x.x", y="y.y")} - 128 END AS cbv,
-             CASE WHEN i.is_jpg AND i.is_color
+             CASE WHEN i.is_jpg AND i.is_sub
+                  THEN {_JPEG_CR_SQL.format(d="i.doc_id", x="(x.x // 2)", y="(y.y // 2)")} - 128
+             WHEN i.is_jpg AND i.is_color
                   THEN {_JPEG_CR_SQL.format(d="i.doc_id", x="x.x", y="y.y")} - 128 END AS crv
       FROM img i,
            UNNEST(generate_series(0, 63)) x(x),
@@ -2713,6 +2720,7 @@ def media_frames(spark, sf_dir):
              (doc_id // 3) % 3 = 2 AS is_gif,
              (doc_id // 3) % 3 = 1 AS is_jpg,
              (doc_id // 9) % 2 = 1 AS is_color,
+             (doc_id // 9) % 2 = 1 AND (doc_id // 18) % 2 = 1 AS is_sub,
              1 + doc_id % 64 AS w, 1 + (doc_id * 7) % 48 AS h
       FROM documents WHERE doc_id % 3 = 0
     ),
@@ -2721,10 +2729,14 @@ def media_frames(spark, sf_dir):
              (x.x * i.w) // 8 AS sx, (y.y * i.h) // 8 AS sy,
              CASE WHEN i.is_jpg THEN {_JPEG_PX_SQL.format(d="i.doc_id",
                  x="((x.x * i.w) // 8)", y="((y.y * i.h) // 8)")} END AS yv,
-             CASE WHEN i.is_jpg AND i.is_color THEN {_JPEG_CB_SQL.format(d="i.doc_id",
+             CASE WHEN i.is_jpg AND i.is_sub THEN {_JPEG_CB_SQL.format(d="i.doc_id",
+                 x="(((x.x * i.w) // 8) // 2)", y="(((y.y * i.h) // 8) // 2)")} - 128
+             WHEN i.is_jpg AND i.is_color THEN {_JPEG_CB_SQL.format(d="i.doc_id",
                  x="((x.x * i.w) // 8)", y="((y.y * i.h) // 8)")} - 128
              END AS cbv,
-             CASE WHEN i.is_jpg AND i.is_color THEN {_JPEG_CR_SQL.format(d="i.doc_id",
+             CASE WHEN i.is_jpg AND i.is_sub THEN {_JPEG_CR_SQL.format(d="i.doc_id",
+                 x="(((x.x * i.w) // 8) // 2)", y="(((y.y * i.h) // 8) // 2)")} - 128
+             WHEN i.is_jpg AND i.is_color THEN {_JPEG_CR_SQL.format(d="i.doc_id",
                  x="((x.x * i.w) // 8)", y="((y.y * i.h) // 8)")} - 128
              END AS crv
       FROM img i,

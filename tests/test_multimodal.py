@@ -286,18 +286,29 @@ def _jpeg_plane(doc_id, coeff_fn, q0, q2, q5):
 
 def _jpeg_closed_form(doc_id):
     """Closed-form decoded raster: luma plane for grayscale docs; the
-    integer JFIF color transform of the three planes for color docs."""
+    integer JFIF color transform of the three planes for color docs
+    (4:2:0 docs evaluate chroma at half resolution and replicate)."""
+    import numpy as np
+
     yv = _jpeg_plane(doc_id, multimodal.synth_jpeg_coeffs, 64, 10, 12)
     if not multimodal.synth_jpeg_is_color(doc_id):
         return yv
-    cb = _jpeg_plane(
-        doc_id, lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[0],
+    _, w, h = multimodal.synth_dims(doc_id)
+    cw, chh = ((w + 1) // 2, (h + 1) // 2) if \
+        multimodal.synth_jpeg_is_subsampled(doc_id) else (w, h)
+    cb = _jpeg_plane_wh(
+        doc_id, cw, chh,
+        lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[0],
         40, 8, 10,
     )
-    cr = _jpeg_plane(
-        doc_id, lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[1],
+    cr = _jpeg_plane_wh(
+        doc_id, cw, chh,
+        lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[1],
         40, 8, 10,
     )
+    if multimodal.synth_jpeg_is_subsampled(doc_id):
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[:h, :w]
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[:h, :w]
     return multimodal._ycbcr_to_rgb(yv, cb, cr)
 
 
@@ -452,13 +463,18 @@ def test_jpeg_decoder_rejects_corrupt_and_foreign():
     sof = mut.find(b"\xff\xc0")
     mut[sof + 9] = 3
     assert multimodal.decode_jpeg_pixels(bytes(mut)) is None
-    # subsampled chroma (2x2 luma sampling factor) is declared out of
-    # scope -> None, not a wrong-pixel decode
-    cp = bytearray(multimodal.synth_jpeg_payload(30))
+    # flipping a 1x1 color doc's declared Y sampling to 2x2 makes the
+    # MCU structure disagree with the entropy stream: the decoder must
+    # NOT return the true raster
+    import numpy as np
+
+    cp = bytearray(multimodal.synth_jpeg_payload(12))
     sof = cp.find(b"\xff\xc0")
     assert cp[sof + 11] == 0x11
     cp[sof + 11] = 0x22
-    assert multimodal.decode_jpeg_pixels(bytes(cp)) is None
+    wrong = multimodal.decode_jpeg_pixels(bytes(cp))
+    right = multimodal.decode_jpeg_pixels(multimodal.synth_jpeg_payload(12))
+    assert wrong is None or not np.array_equal(wrong, right)
 
 
 def test_jpeg_payload_parses_with_stdlib_header_walk():
@@ -684,3 +700,79 @@ def test_audio_population_alternates_codecs():
         nch, _, _ = multimodal.synth_audio_dims(d)
         combos.add((multimodal.synth_audio_is_adpcm(d), nch))
     assert combos == {(False, 1), (False, 2), (True, 1), (True, 2)}
+
+
+def test_jpeg_420_subsampling_roundtrip_exact():
+    # 4:2:0 docs: Y sampling 2x2 (4 luma blocks per MCU), chroma coded
+    # at half resolution and upsampled by pixel replication — decode
+    # must be BIT-EXACT against the closed form with chroma evaluated
+    # at (x//2, y//2), including the restart-interval combination
+    import numpy as np
+
+    saw_rst = False
+    for doc_id in (30, 66, 102, 138, 174):
+        assert multimodal.synth_jpeg_is_subsampled(doc_id)
+        _, w, h = multimodal.synth_dims(doc_id)
+        px = multimodal.decode_jpeg_pixels(multimodal.synth_jpeg_payload(doc_id))
+        yv = _jpeg_plane(doc_id, multimodal.synth_jpeg_coeffs, 64, 10, 12)
+        wh, hh = (w + 1) // 2, (h + 1) // 2
+        cbh = _jpeg_plane_wh(
+            doc_id, wh, hh,
+            lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[0],
+            40, 8, 10,
+        )
+        crh = _jpeg_plane_wh(
+            doc_id, wh, hh,
+            lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[1],
+            40, 8, 10,
+        )
+        cb = np.repeat(np.repeat(cbh, 2, axis=0), 2, axis=1)[:h, :w]
+        cr = np.repeat(np.repeat(crh, 2, axis=0), 2, axis=1)[:h, :w]
+        cf = multimodal._ycbcr_to_rgb(yv, cb, cr)
+        assert px is not None and px.shape == cf.shape
+        assert np.array_equal(px, cf), doc_id
+        saw_rst = saw_rst or multimodal.synth_jpeg_restart_interval(doc_id) > 0
+    assert saw_rst  # at least one 4:2:0 doc also carries DRI/RSTn
+
+
+def test_jpeg_sampling_factors_are_load_bearing():
+    # flipping the SOF Y-sampling byte of a 4:2:0 file to 1x1 changes
+    # the declared MCU structure out from under the entropy stream:
+    # the decoder must NOT return the true raster (loud None, or a
+    # raster that provably differs)
+    import numpy as np
+
+    doc_id = 30
+    p = multimodal.synth_jpeg_payload(doc_id)
+    sof = p.find(b"\xff\xc0")
+    # SOF0: ff c0 len(2) prec(1) h(2) w(2) ncomp(1) then (id, samp, q)*
+    assert p[sof + 9] == 3 and p[sof + 11] == 0x22
+    mut = bytearray(p)
+    mut[sof + 11] = 0x11
+    wrong = multimodal.decode_jpeg_pixels(bytes(mut))
+    right = multimodal.decode_jpeg_pixels(p)
+    assert wrong is None or not np.array_equal(wrong, right)
+    # invalid sampling factor values are rejected outright
+    mut = bytearray(p)
+    mut[sof + 11] = 0x02  # h=0
+    assert multimodal.decode_jpeg_pixels(bytes(mut)) is None
+    # a non-integer upsampling ratio (hmax=3, chroma h=2) is rejected
+    mut = bytearray(p)
+    mut[sof + 11] = 0x32
+    mut[sof + 14] = 0x21  # Cb
+    assert multimodal.decode_jpeg_pixels(bytes(mut)) is None
+
+
+def test_jpeg_color_population_alternates_sampling():
+    # color stills alternate 1x1 / 4:2:0; grayscale docs are never
+    # flagged subsampled
+    subs = [d for d in range(3, 400, 9) if multimodal.synth_jpeg_is_subsampled(d)]
+    full = [
+        d for d in range(3, 400, 9)
+        if multimodal.synth_jpeg_is_color(d)
+        and not multimodal.synth_jpeg_is_subsampled(d)
+    ]
+    assert subs and full
+    assert all(multimodal.synth_jpeg_is_color(d) for d in subs)
+    gray = [d for d in range(3, 400, 9) if not multimodal.synth_jpeg_is_color(d)]
+    assert not any(multimodal.synth_jpeg_is_subsampled(d) for d in gray)
