@@ -422,6 +422,13 @@ def synth_mjpeg_is_color(doc_id: int) -> bool:
     return (doc_id // 6) % 2 == 1
 
 
+def synth_mjpeg_is_subsampled(doc_id: int) -> bool:
+    """Which color MJPEG videos carry 4:2:0-subsampled frames —
+    ``(doc_id // 24) % 2`` among the color docs, oracle-shared
+    arithmetic, so both chroma layouts occur in the video tier too."""
+    return synth_mjpeg_is_color(doc_id) and (doc_id // 24) % 2 == 1
+
+
 def synth_mjpeg_restart_interval(doc_id: int) -> int:
     """DRI interval for MJPEG frames (0 = none): every other MJPEG doc
     carries DRI=2 in every frame, so restart machinery is exercised in
@@ -453,8 +460,9 @@ def synth_mjpeg_payload(doc_id: int) -> bytes:
     w, h, n_frames = synth_video_dims(doc_id)
     color = synth_mjpeg_is_color(doc_id)
     rsti = synth_mjpeg_restart_interval(doc_id)
+    subsamp = synth_mjpeg_is_subsampled(doc_id)
     jpegs = [
-        _jpeg_encode_image(doc_id + 97 * f, w, h, color, rsti)
+        _jpeg_encode_image(doc_id + 97 * f, w, h, color, rsti, subsamp)
         for f in range(n_frames)
     ]
     avih = struct.pack(

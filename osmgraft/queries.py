@@ -2647,11 +2647,13 @@ def dedup_clusters(spark, sf_dir):
       SELECT doc_id, 1 + doc_id % 32 AS w, 1 + (doc_id * 5) % 24 AS h,
              2 + doc_id % 4 AS nf,
              (doc_id // 3) % 2 = 1 AS is_avi,
-             (doc_id // 6) % 2 = 1 AS is_color
+             (doc_id // 6) % 2 = 1 AS is_color,
+             (doc_id // 6) % 2 = 1 AND (doc_id // 24) % 2 = 1 AS is_sub
       FROM documents WHERE doc_id % 3 = 2
     ),
     fr AS (
-      SELECT v.doc_id, v.w, v.h, v.is_avi, v.is_color, f.f AS frame_idx
+      SELECT v.doc_id, v.w, v.h, v.is_avi, v.is_color, v.is_sub,
+             f.f AS frame_idx
       FROM vid v, UNNEST(generate_series(0, 5)) f(f)
       WHERE f.f < v.nf AND f.f % 2 = 0
     ),
@@ -2661,10 +2663,16 @@ def dedup_clusters(spark, sf_dir):
              CASE WHEN fr.is_avi THEN {_JPEG_PX_SQL.format(
                  d="(fr.doc_id + 97 * fr.frame_idx)", x="x.x", y="y.y")}
              END AS yv,
-             CASE WHEN fr.is_avi AND fr.is_color THEN {_JPEG_CB_SQL.format(
+             CASE WHEN fr.is_avi AND fr.is_sub THEN {_JPEG_CB_SQL.format(
+                 d="(fr.doc_id + 97 * fr.frame_idx)",
+                 x="(x.x // 2)", y="(y.y // 2)")} - 128
+             WHEN fr.is_avi AND fr.is_color THEN {_JPEG_CB_SQL.format(
                  d="(fr.doc_id + 97 * fr.frame_idx)", x="x.x", y="y.y")} - 128
              END AS cbv,
-             CASE WHEN fr.is_avi AND fr.is_color THEN {_JPEG_CR_SQL.format(
+             CASE WHEN fr.is_avi AND fr.is_sub THEN {_JPEG_CR_SQL.format(
+                 d="(fr.doc_id + 97 * fr.frame_idx)",
+                 x="(x.x // 2)", y="(y.y // 2)")} - 128
+             WHEN fr.is_avi AND fr.is_color THEN {_JPEG_CR_SQL.format(
                  d="(fr.doc_id + 97 * fr.frame_idx)", x="x.x", y="y.y")} - 128
              END AS crv
       FROM fr,

@@ -508,21 +508,28 @@ def _jpeg_plane_wh(ident, w, h, coeff_fn, q0, q2, q5):
 
 
 def _mjpeg_closed_form_frame(doc_id, f):
+    import numpy as np
+
     w, h, _ = multimodal.synth_video_dims(doc_id)
     ident = doc_id + 97 * f
     yv = _jpeg_plane_wh(ident, w, h, multimodal.synth_jpeg_coeffs, 64, 10, 12)
     if not multimodal.synth_mjpeg_is_color(doc_id):
         return yv
+    sub = multimodal.synth_mjpeg_is_subsampled(doc_id)
+    cw, chh = ((w + 1) // 2, (h + 1) // 2) if sub else (w, h)
     cb = _jpeg_plane_wh(
-        ident, w, h,
+        ident, cw, chh,
         lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[0],
         40, 8, 10,
     )
     cr = _jpeg_plane_wh(
-        ident, w, h,
+        ident, cw, chh,
         lambda d, bx, by: multimodal.synth_jpeg_chroma_coeffs(d, bx, by)[1],
         40, 8, 10,
     )
+    if sub:
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[:h, :w]
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[:h, :w]
     return multimodal._ycbcr_to_rgb(yv, cb, cr)
 
 
@@ -532,8 +539,8 @@ def test_mjpeg_avi_roundtrip_exact():
     # every frame — gray and color docs, restart and no-restart docs
     import numpy as np
 
-    saw_color = saw_gray = saw_rst = False
-    for doc_id in (5, 11, 17, 23, 29, 35, 305, 1001):
+    saw_color = saw_gray = saw_rst = saw_sub = False
+    for doc_id in (5, 11, 17, 23, 29, 35, 47, 305, 1001):
         if doc_id % 3 != 2 or not multimodal.synth_video_is_mjpeg(doc_id):
             continue
         w, h, nf = multimodal.synth_video_dims(doc_id)
@@ -551,7 +558,11 @@ def test_mjpeg_avi_roundtrip_exact():
             saw_gray = True
         if multimodal.synth_mjpeg_restart_interval(doc_id):
             saw_rst = True
-    assert saw_color and saw_gray and saw_rst
+        if multimodal.synth_mjpeg_is_subsampled(doc_id):
+            saw_sub = True
+    # all four frame layouts exercised: gray, 1x1 color, 4:2:0 color,
+    # restart-interval docs
+    assert saw_color and saw_gray and saw_rst and saw_sub
 
 
 def test_avi_parser_strictness():
