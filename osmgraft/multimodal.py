@@ -781,6 +781,21 @@ _JPEG_DC2_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_AC2_BITS = [0] * 16
 _JPEG_AC2_BITS[8] = len(_JPEG_AC_VALS)  # all 162 symbols at 9 bits
 
+# Progressive AC alphabet: the baseline symbols plus the EOBn run
+# symbols (r<<4 | 0 for r = 1..14, T.81 G.1.2.2 — a run of 2^r + ext
+# all-zero spectral bands across blocks).  Carried in the files' own
+# DHT segments, so the decoder's canonical rebuild picks them up; the
+# lengths again differ between luma (8 bits) and chroma (9 bits) so
+# per-component table selection stays load-bearing in progressive
+# scans too.
+_JPEG_AC_VALS_PROG = [0x00, 0xF0] + [r << 4 for r in range(1, 15)] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_BITS_PROG = [0] * 16
+_JPEG_AC_BITS_PROG[7] = len(_JPEG_AC_VALS_PROG)  # 176 symbols at 8 bits
+_JPEG_AC2_BITS_PROG = [0] * 16
+_JPEG_AC2_BITS_PROG[8] = len(_JPEG_AC_VALS_PROG)  # chroma at 9 bits
+
 
 def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """ITU-T T.81 Annex C canonical code assignment: symbol ->
@@ -858,6 +873,18 @@ def synth_jpeg_restart_interval(doc_id: int) -> int:
     return 2 if (doc_id // 9) % 3 == 2 else 0
 
 
+def synth_jpeg_is_progressive(doc_id: int) -> bool:
+    """Which still JPEGs are progressive (SOF2, spectral selection) —
+    every fifth JPEG doc via ``(doc_id // 9) % 5 == 4``, so the
+    progressive tier intersects the gray/color, 1x1/4:2:0 and
+    restart-interval alternations over the population.  Progressive
+    scans restructure the entropy stream only (the decoded quantized
+    coefficients are identical to the baseline encoding), so every
+    pixel oracle is structure-blind — the same closed forms verify
+    both scan disciplines."""
+    return (doc_id // 9) % 5 == 4
+
+
 def _jpeg_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
@@ -928,6 +955,74 @@ def _jpeg_encode_block(bw, coeffs, dc_code, ac_code, pred: int) -> int:
     return dc
 
 
+def _jpeg_encode_dc(bw, dc: int, dc_code, pred: int) -> int:
+    """DC difference + category bits only (progressive DC scans)."""
+    diff = dc - pred
+    s = _jpeg_category(diff)
+    c, ln = dc_code[s]
+    bw.write(c, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return dc
+
+
+def _jpeg_flush_eobrun(bw, ac_code, n: int) -> int:
+    """Emit a pending EOB run (T.81 G.1.2.2: symbol r<<4 + r extension
+    bits encodes a run of 2^r + ext all-zero bands); returns 0."""
+    if n:
+        r = n.bit_length() - 1
+        c, ln = ac_code[r << 4]
+        bw.write(c, ln)
+        if r:
+            bw.write(n - (1 << r), r)
+    return 0
+
+
+def _jpeg_encode_ac_band(bw, zz, ss: int, se: int, ac_code, eobrun: int) -> int:
+    """Entropy-code one block's spectral band [ss, se] for a
+    progressive AC scan; all-zero bands accumulate into the scan-wide
+    EOB run.  Returns the updated EOB run."""
+    last = 0
+    for k in range(ss, se + 1):
+        if zz[k]:
+            last = k
+    if last == 0:
+        eobrun += 1
+        if eobrun == 32767:
+            eobrun = _jpeg_flush_eobrun(bw, ac_code, eobrun)
+        return eobrun
+    eobrun = _jpeg_flush_eobrun(bw, ac_code, eobrun)
+    run = 0
+    for k in range(ss, last + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_code[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        s = _jpeg_category(zz[k])
+        c, ln = ac_code[(run << 4) | s]
+        bw.write(c, ln)
+        bw.write(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+        run = 0
+    if last < se:
+        eobrun += 1
+    return eobrun
+
+
+def _jpeg_block_zz(ident: int, bx: int, by: int, comp: int) -> list[int]:
+    """Full 64-entry zigzag coefficient vector of block (bx, by) for
+    component 0 (Y), 1 (Cb) or 2 (Cr) — the closed forms placed at
+    their zigzag slots."""
+    zz = [0] * 64
+    if comp == 0:
+        zz[0], zz[2], zz[5] = synth_jpeg_coeffs(ident, bx, by)
+    else:
+        zz[0], zz[2], zz[5] = synth_jpeg_chroma_coeffs(ident, bx, by)[comp - 1]
+    return zz
+
+
 def synth_jpeg_payload(doc_id: int) -> bytes:
     """A complete baseline-sequential JPEG (SOI APP0 DQT DHT SOF0 SOS
     scan EOI), entropy-coded for real.  Grayscale docs carry one
@@ -947,26 +1042,129 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
         synth_jpeg_is_color(doc_id),
         synth_jpeg_restart_interval(doc_id),
         synth_jpeg_is_subsampled(doc_id),
+        synth_jpeg_is_progressive(doc_id),
     )
 
 
 def _jpeg_encode_image(
-    ident: int, w: int, h: int, color: bool, rsti: int, subsamp: bool = False
+    ident: int, w: int, h: int, color: bool, rsti: int,
+    subsamp: bool = False, progressive: bool = False,
 ) -> bytes:
-    """Entropy-code one baseline-sequential JPEG image whose quantized
-    coefficients are the :func:`synth_jpeg_coeffs` /
-    :func:`synth_jpeg_chroma_coeffs` closed forms of ``ident`` — shared
-    by the still-image tier (``ident = doc_id``) and the MJPEG video
-    frames (``ident = doc_id + 97 * frame_idx``).  ``subsamp`` encodes
-    4:2:0 (Y sampling 2x2, interleaved MCUs of 4 luma + 1 Cb + 1 Cr
-    block; chroma block (bx, by) covers the half-resolution plane, so
-    its closed form is evaluated at half-res block coordinates)."""
+    """Entropy-code one JPEG image whose quantized coefficients are
+    the :func:`synth_jpeg_coeffs` / :func:`synth_jpeg_chroma_coeffs`
+    closed forms of ``ident`` — shared by the still-image tier
+    (``ident = doc_id``) and the MJPEG video frames (``ident = doc_id
+    + 97 * frame_idx``).  ``subsamp`` encodes 4:2:0 (Y sampling 2x2,
+    interleaved MCUs of 4 luma + 1 Cb + 1 Cr block; chroma block
+    (bx, by) covers the half-resolution plane, so its closed form is
+    evaluated at half-res block coordinates).  ``progressive`` emits
+    SOF2 with spectral-selection scans: one interleaved DC scan, the
+    luma AC spectrum split across two band scans (1-4 carries zz2,
+    5-63 carries zz5 — the split is load-bearing), one full AC scan
+    per chroma component, genuine EOBn run coding, and DRI/RSTn
+    boundaries inside every scan when ``rsti`` is set."""
     doc_id = ident
     dc_code = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_code = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    ac_bits = _JPEG_AC_BITS_PROG if progressive else _JPEG_AC_BITS
+    ac_vals = _JPEG_AC_VALS_PROG if progressive else _JPEG_AC_VALS
+    ac_code = _huff_canonical(ac_bits, ac_vals)
     if color:
         dc2_code = _huff_canonical(_JPEG_DC2_BITS, _JPEG_DC_VALS)
-        ac2_code = _huff_canonical(_JPEG_AC2_BITS, _JPEG_AC_VALS)
+        ac2_bits = _JPEG_AC2_BITS_PROG if progressive else _JPEG_AC2_BITS
+        ac2_code = _huff_canonical(ac2_bits, ac_vals)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    if progressive:
+        # --- scan 1: DC of every component, interleaved -------------
+        bwdc = _MsbBitWriter()
+        preds = [0, 0, 0]
+        mcu = 0
+        if color and subsamp:
+            mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        else:
+            mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+        n_mcu = mcux * mcuy
+        for my in range(mcuy):
+            for mx in range(mcux):
+                ybl = (
+                    [(2 * mx + dx, 2 * my + dy) for dy in range(2)
+                     for dx in range(2)]
+                    if color and subsamp else [(mx, my)]
+                )
+                for bx, by in ybl:
+                    preds[0] = _jpeg_encode_dc(
+                        bwdc, synth_jpeg_coeffs(doc_id, bx, by)[0],
+                        dc_code, preds[0],
+                    )
+                if color:
+                    cb, cr = synth_jpeg_chroma_coeffs(doc_id, mx, my)
+                    preds[1] = _jpeg_encode_dc(bwdc, cb[0], dc2_code, preds[1])
+                    preds[2] = _jpeg_encode_dc(bwdc, cr[0], dc2_code, preds[2])
+                mcu += 1
+                if rsti and mcu % rsti == 0 and mcu < n_mcu:
+                    bwdc.restart(mcu // rsti - 1)
+                    preds = [0, 0, 0]
+        if color:
+            dc_sos = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0])
+        else:
+            dc_sos = bytes([1, 1, 0x00, 0, 0, 0])
+        scans = [(dc_sos, bwdc.finish())]
+
+        # --- AC band scans, one component each (T.81: ns must be 1) --
+        def ac_scan(comp, cid, ss, se, code, tid):
+            cw, ch = (w, h)
+            if comp and color and subsamp:
+                cw, ch = (w + 1) // 2, (h + 1) // 2
+            bwa = _MsbBitWriter()
+            eob, blk, m = 0, 0, 0
+            for by in range((ch + 7) // 8):
+                for bx in range((cw + 7) // 8):
+                    if rsti and blk and blk % rsti == 0:
+                        eob = _jpeg_flush_eobrun(bwa, code, eob)
+                        bwa.restart(m)
+                        m += 1
+                    zz = _jpeg_block_zz(doc_id, bx, by, comp)
+                    eob = _jpeg_encode_ac_band(bwa, zz, ss, se, code, eob)
+                    blk += 1
+            _jpeg_flush_eobrun(bwa, code, eob)
+            return (bytes([1, cid, tid, ss, se, 0]), bwa.finish())
+
+        scans.append(ac_scan(0, 1, 1, 4, ac_code, 0x00))
+        scans.append(ac_scan(0, 1, 5, 63, ac_code, 0x00))
+        if color:
+            scans.append(ac_scan(1, 2, 1, 63, ac2_code, 0x01))
+            scans.append(ac_scan(2, 3, 1, 63, ac2_code, 0x01))
+
+        app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+        out = (
+            b"\xff\xd8"
+            + seg(0xE0, app0)
+            + seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTAB))
+            + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+            + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        )
+        if color:
+            out += (
+                seg(0xDB, bytes([0x01]) + bytes(_JPEG_QTAB_CHROMA))
+                + seg(0xC4, bytes([0x01]) + bytes(_JPEG_DC2_BITS)
+                      + bytes(_JPEG_DC_VALS))
+                + seg(0xC4, bytes([0x11]) + bytes(ac2_bits) + bytes(ac_vals))
+            )
+            ysamp = 0x22 if subsamp else 0x11
+            sof = struct.pack(">BHH", 8, h, w) + bytes(
+                [3, 1, ysamp, 0, 2, 0x11, 1, 3, 0x11, 1]
+            )
+        else:
+            sof = struct.pack(">BHH", 8, h, w) + bytes([1, 1, 0x11, 0])
+        if rsti:
+            out += seg(0xDD, struct.pack(">H", rsti))
+        out += seg(0xC2, sof)  # SOF2: progressive DCT
+        for sos_body, data in scans:
+            out += seg(0xDA, sos_body) + data
+        return out + b"\xff\xd9"
+
     bw = _MsbBitWriter()
     preds = [0, 0, 0]
     mcu = 0
@@ -1014,10 +1212,6 @@ def _jpeg_encode_image(
                     bw.restart(mcu // rsti - 1)
                     preds = [0, 0, 0]
     scan = bw.finish()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
     app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
     dqt = bytes([0x00]) + bytes(_JPEG_QTAB)  # 8-bit precision, table 0
     out = (
@@ -1135,15 +1329,26 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
     comp_samp: dict[int, tuple[int, int]] = {}  # id -> (h, v) sampling
     comp_order: list[int] = []  # component ids in SOF order
     rsti = 0  # DRI restart interval (MCUs); 0 = no restarts
+    progressive = False
+    coeff: list[np.ndarray] | None = None  # per-comp (by, bx, 64) quantized
+    scans_done = 0
     i = 2
-    while i + 4 <= len(b):
+    # 2-byte guard (not 4): a progressive stream's trailing EOI is the
+    # last two bytes and must be reachable
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             return None
         while i + 1 < len(b) and b[i + 1] == 0xFF:
             i += 1
         marker = b[i + 1]
         if marker == 0xD9:
-            return None  # EOI before SOS
+            # EOI: for progressive streams this is where the buffered
+            # coefficients become pixels; before any scan it is corrupt
+            if progressive and scans_done:
+                return _jpeg_finalize(
+                    coeff, comp_order, comp_samp, comp_qmap, qtabs, w, h
+                )
+            return None
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
             continue
@@ -1186,7 +1391,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                     (code, ln): sym for sym, (code, ln) in enc.items()
                 }
                 j += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if len(body) < 8 or body[0] != 8:
                 return None
             h, w = struct.unpack(">HH", body[1:5])
@@ -1211,7 +1417,21 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
             rsti = struct.unpack(">H", body)[0]
         elif marker == 0xDA:  # SOS: entropy-coded data follows
             ns = body[0] if body else 0
-            if w < 0 or len(body) < 1 + 2 * ns + 3 or ns != len(comp_order):
+            if w < 0 or len(body) < 1 + 2 * ns + 3:
+                return None
+            if progressive:
+                if coeff is None:
+                    coeff = _jpeg_alloc_coeff(w, h, comp_order, comp_samp)
+                nxt = _jpeg_decode_progressive_scan(
+                    b, i + 2 + seglen, body, w, h,
+                    comp_order, comp_samp, htabs, rsti, coeff,
+                )
+                if nxt is None:
+                    return None
+                scans_done += 1
+                i = nxt
+                continue
+            if ns != len(comp_order):
                 return None
             comps = []  # (quant table, dc decode table, ac decode table)
             samps = []  # (h, v) sampling factors, SOS order
@@ -1325,6 +1545,196 @@ def _jpeg_decode_scan(b, pos, w, h, comps, rsti=0, samps=None):
             p = np.repeat(np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1)
         full.append(p[:h, :w])
     if ncomp == 1:
+        return full[0].astype(np.uint8)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def _jpeg_alloc_coeff(w, h, comp_order, comp_samp):
+    """Per-component quantized-coefficient stores for progressive
+    decoding, sized to the padded interleaved MCU grid (a superset of
+    every scan's block grid): shape (blocks_y, blocks_x, 64 zigzag)."""
+    hmax = max(s[0] for s in comp_samp.values())
+    vmax = max(s[1] for s in comp_samp.values())
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros(
+            (mcuy * comp_samp[cid][1], mcux * comp_samp[cid][0], 64),
+            dtype=np.int64,
+        )
+        for cid in comp_order
+    ]
+
+
+def _jpeg_decode_progressive_scan(
+    b, pos, body, w, h, comp_order, comp_samp, htabs, rsti, coeff
+):
+    """Decode ONE progressive spectral-selection scan (T.81 Annex G,
+    Ah = Al = 0) into the quantized-coefficient stores: an interleaved
+    or single-component DC scan (Ss = Se = 0), or a single-component
+    AC band scan (1 <= Ss <= Se <= 63) with EOBn run decoding.  DRI
+    restarts are honored inside every scan (modulo counter reset per
+    scan; an EOB run crossing a restart boundary is corrupt).  Returns
+    the byte position of the next marker, or None.  Successive
+    approximation (Ah/Al != 0) is out of scope and refused loudly."""
+    ns = body[0]
+    ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    if ahal != 0:
+        return None
+    hmax = max(s[0] for s in comp_samp.values())
+    vmax = max(s[1] for s in comp_samp.values())
+    idx, dcts, acts = [], [], []
+    for ci in range(ns):
+        cid, tids = body[1 + 2 * ci], body[2 + 2 * ci]
+        if cid not in comp_order:
+            return None
+        idx.append(comp_order.index(cid))
+        dcts.append(htabs.get((0, tids >> 4)))
+        acts.append(htabs.get((1, tids & 0x0F)))
+    br = _MsbBitReader(b, pos)
+
+    def read_dc(tab, pred):
+        s_ = _huff_decode(br, tab)
+        if s_ is None or s_ > 11:
+            return None
+        diff = 0
+        if s_:
+            v = br.read(s_)
+            if v is None:
+                return None
+            diff = _extend(v, s_)
+        return pred + diff
+
+    if ss == 0:  # DC scan
+        if se != 0 or any(t is None for t in dcts):
+            return None
+        preds = [0] * ns
+        if ns > 1:
+            if ns != len(comp_order):
+                return None
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if rsti and mcu and mcu % rsti == 0:
+                        if not br.expect_restart(mcu // rsti - 1):
+                            return None
+                        preds = [0] * ns
+                    mcu += 1
+                    for j in range(ns):
+                        ci = idx[j]
+                        sh, sv = comp_samp[comp_order[ci]]
+                        for dy in range(sv):
+                            for dx in range(sh):
+                                p = read_dc(dcts[j], preds[j])
+                                if p is None:
+                                    return None
+                                preds[j] = p
+                                coeff[ci][my * sv + dy, mx * sh + dx, 0] = p
+        else:
+            ci = idx[0]
+            sh, sv = comp_samp[comp_order[ci]]
+            cw, ch2 = -(-w * sh // hmax), -(-h * sv // vmax)
+            blk = 0
+            for by in range((ch2 + 7) // 8):
+                for bx in range((cw + 7) // 8):
+                    if rsti and blk and blk % rsti == 0:
+                        if not br.expect_restart(blk // rsti - 1):
+                            return None
+                        preds = [0]
+                    blk += 1
+                    p = read_dc(dcts[0], preds[0])
+                    if p is None:
+                        return None
+                    preds[0] = p
+                    coeff[ci][by, bx, 0] = p
+        return br.pos
+
+    # AC band scan: T.81 requires exactly one component
+    if ns != 1 or not (1 <= ss <= se <= 63) or acts[0] is None:
+        return None
+    act = acts[0]
+    ci = idx[0]
+    sh, sv = comp_samp[comp_order[ci]]
+    cw, ch2 = -(-w * sh // hmax), -(-h * sv // vmax)
+    eobrun, blk = 0, 0
+    for by in range((ch2 + 7) // 8):
+        for bx in range((cw + 7) // 8):
+            if rsti and blk and blk % rsti == 0:
+                if eobrun:
+                    return None  # EOB run across a restart: corrupt
+                if not br.expect_restart(blk // rsti - 1):
+                    return None
+            blk += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            row = coeff[ci][by, bx]
+            k = ss
+            while k <= se:
+                sym = _huff_decode(br, act)
+                if sym is None:
+                    return None
+                r, s_ = sym >> 4, sym & 0x0F
+                if s_ == 0:
+                    if r == 15:  # ZRL: 16 zeros, stays in the band
+                        k += 16
+                        continue
+                    ext = br.read(r) if r else 0
+                    if ext is None:
+                        return None
+                    eobrun = (1 << r) + ext - 1  # this block's EOB is consumed
+                    break
+                k += r
+                if k > se:
+                    return None
+                v = br.read(s_)
+                if v is None:
+                    return None
+                row[k] = _extend(v, s_)
+                k += 1
+    if eobrun:
+        return None  # declared run overran the scan's block count
+    return br.pos
+
+
+def _jpeg_finalize(coeff, comp_order, comp_samp, comp_qmap, qtabs, w, h):
+    """Quantized coefficients -> pixels: dequantize, dezigzag,
+    fixed-point integer IDCT per block, level shift + clamp,
+    replication upsampling, YCbCr->RGB for 3-component images.  Shared
+    end-stage for the progressive path (the baseline path IDCTs
+    inline, scan-order)."""
+    hmax = max(s[0] for s in comp_samp.values())
+    vmax = max(s[1] for s in comp_samp.values())
+    half = 1 << (_JPEG_IDCT_SHIFT - 1)
+    full = []
+    for ci, cid in enumerate(comp_order):
+        q = qtabs.get(comp_qmap.get(cid, -1))
+        if q is None:
+            return None
+        arr = coeff[ci]
+        gy, gx = arr.shape[:2]
+        plane = np.zeros((gy * 8, gx * 8), dtype=np.int64)
+        for by in range(gy):
+            for bx in range(gx):
+                zz = arr[by, bx]
+                d = np.zeros((8, 8), dtype=np.int64)
+                for k in range(64):
+                    if zz[k]:
+                        r, c = _JPEG_ZIGZAG[k]
+                        d[r, c] = int(zz[k]) * q[k]
+                block = (_JPEG_K.T @ d @ _JPEG_K + half) >> _JPEG_IDCT_SHIFT
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    block + 128, 0, 255
+                )
+        sh, sv = comp_samp[cid]
+        if sh != hmax or sv != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // sv, axis=0), hmax // sh, axis=1
+            )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
         return full[0].astype(np.uint8)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
 

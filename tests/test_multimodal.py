@@ -787,3 +787,82 @@ def test_jpeg_color_population_alternates_sampling():
     assert all(multimodal.synth_jpeg_is_color(d) for d in subs)
     gray = [d for d in range(3, 400, 9) if not multimodal.synth_jpeg_is_color(d)]
     assert not any(multimodal.synth_jpeg_is_subsampled(d) for d in gray)
+
+
+def test_jpeg_progressive_roundtrip_exact():
+    # progressive (SOF2, spectral selection) restructures the entropy
+    # stream only: decoded pixels must be BIT-EXACT against both the
+    # closed form and the baseline encoding of the same coefficients,
+    # across gray/color, 1x1/4:2:0 and restart-interval combos
+    import numpy as np
+
+    combos = set()
+    for doc_id in (39, 84, 129, 174, 219, 264, 309, 354):
+        assert multimodal.synth_jpeg_is_progressive(doc_id)
+        p = multimodal.synth_jpeg_payload(doc_id)
+        assert b"\xff\xc2" in p and b"\xff\xc0" not in p.split(b"\xff\xda")[0]
+        px = multimodal.decode_jpeg_pixels(p)
+        cf = _jpeg_closed_form(doc_id)
+        assert px is not None and px.shape == cf.shape
+        assert np.array_equal(px, cf), doc_id
+        base = multimodal._jpeg_encode_image(
+            doc_id, *multimodal.synth_dims(doc_id)[1:],
+            multimodal.synth_jpeg_is_color(doc_id),
+            multimodal.synth_jpeg_restart_interval(doc_id),
+            multimodal.synth_jpeg_is_subsampled(doc_id), False,
+        )
+        assert np.array_equal(px, multimodal.decode_jpeg_pixels(base))
+        combos.add((
+            multimodal.synth_jpeg_is_color(doc_id),
+            multimodal.synth_jpeg_is_subsampled(doc_id),
+            multimodal.synth_jpeg_restart_interval(doc_id) > 0,
+        ))
+    assert len(combos) >= 4  # several scan-structure combos exercised
+
+
+def test_jpeg_progressive_strictness():
+    import struct as _s
+
+    p = multimodal.synth_jpeg_payload(39)  # gray progressive
+    assert multimodal.decode_jpeg_pixels(p) is not None
+    # truncation anywhere (mid-scan or before EOI) is a loud None
+    assert multimodal.decode_jpeg_pixels(p[:-2]) is None
+    assert multimodal.decode_jpeg_pixels(p[:360]) is None
+    # successive approximation (Ah/Al != 0) is declared out of scope
+    mut = bytearray(p)
+    sos = mut.find(b"\xff\xda")
+    ln = _s.unpack(">H", mut[sos + 2:sos + 4])[0]
+    mut[sos + 2 + ln - 1] = 0x01  # AhAl of the first (DC) scan
+    assert multimodal.decode_jpeg_pixels(bytes(mut)) is None
+    # an AC scan claiming Se > 63 is rejected
+    mut = bytearray(p)
+    sos2 = mut.find(b"\xff\xda", sos + 2)
+    ln2 = _s.unpack(">H", mut[sos2 + 2:sos2 + 4])[0]
+    assert mut[sos2 + 2 + ln2 - 2] == 4  # Se of the (1, 4) band scan
+    mut[sos2 + 2 + ln2 - 2] = 64
+    assert multimodal.decode_jpeg_pixels(bytes(mut)) is None
+    # SOF2 + EOI without any scan is corrupt
+    sof = p.find(b"\xff\xc2")
+    lns = _s.unpack(">H", p[sof + 2:sof + 4])[0]
+    assert multimodal.decode_jpeg_pixels(
+        p[:sof + 2 + lns] + b"\xff\xd9"
+    ) is None
+
+
+def test_jpeg_progressive_population_combos():
+    # the progressive tier intersects the color / 4:2:0 / restart
+    # alternations, so every scan-structure combination that can occur
+    # does occur in the synthetic population
+    combos = set()
+    for d in range(3, 5000, 9):
+        if multimodal.synth_jpeg_is_progressive(d):
+            combos.add((
+                multimodal.synth_jpeg_is_color(d),
+                multimodal.synth_jpeg_is_subsampled(d),
+                multimodal.synth_jpeg_restart_interval(d) > 0,
+            ))
+    assert combos == {
+        (False, False, False), (False, False, True),
+        (True, False, False), (True, False, True),
+        (True, True, False), (True, True, True),
+    }
