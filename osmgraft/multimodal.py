@@ -14,11 +14,14 @@ Spark-side plumbing — schema, partition-friendly batch shape,
   well-formed bytes and cross-checked by a closed-form oracle.
 * **pixel decode** (real): PNG (inflate + filter reversal,
   :func:`decode_png_pixels`), GIF (LZW, :func:`decode_gif_pixels` /
-  :func:`decode_gif_frames`), baseline JPEG incl. 3-component YCbCr
-  and restart markers (from-scratch Huffman + integer IDCT,
+  :func:`decode_gif_frames`), JPEG — baseline AND progressive
+  (spectral selection), grayscale / 1x1 YCbCr / 4:2:0-subsampled,
+  restart markers (from-scratch Huffman + integer IDCT,
   :func:`decode_jpeg_pixels`), MJPEG AVI video (RIFF walk + per-frame
-  JPEG, :func:`decode_avi_frames`) and PCM16 WAV
-  (:func:`decode_wav_samples`) — each cross-checked against
+  JPEG, :func:`decode_avi_frames`), PCM16 WAV
+  (:func:`decode_wav_samples`), IMA ADPCM
+  (:func:`decode_adpcm_samples`) and G.711 mu-law
+  (:func:`decode_ulaw_samples`) — each cross-checked against
   closed-form oracles by the ``media_*`` gate queries.  Remaining
   declared stubs: inter-frame-predicted / transform codecs
   (mp3/aac/h264) only; ``decode_payload(fake=True)`` keeps the
@@ -1901,12 +1904,21 @@ _IMA_STEP_TABLE = [
 _IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
+def synth_audio_codec(doc_id: int) -> str:
+    """Which codec an audio doc (doc_id % 3 == 1) carries — a 3-way
+    ``(doc_id // 6) % 3`` alternation over ``'pcm'`` (uncompressed
+    PCM16), ``'adpcm'`` (IMA ADPCM) and ``'ulaw'`` (G.711 mu-law);
+    combined with the independent mono/stereo alternation
+    (``(doc_id // 3) % 2``) all six codec x channel-count combinations
+    stay populated.  Oracle-shared arithmetic."""
+    return ("pcm", "adpcm", "ulaw")[(doc_id // 6) % 3]
+
+
 def synth_audio_is_adpcm(doc_id: int) -> bool:
-    """Which audio docs (doc_id % 3 == 1) carry an IMA-ADPCM WAV
-    instead of PCM16 — ``(doc_id // 6) % 2``; combined with the
-    mono/stereo alternation (``(doc_id // 3) % 2``) all four
-    codec x channel-count combinations stay populated."""
-    return (doc_id // 6) % 2 == 1
+    """Which audio docs carry an IMA-ADPCM WAV — see
+    :func:`synth_audio_codec` (round-5 note: widened from the original
+    2-way PCM/ADPCM split when the mu-law tier landed)."""
+    return synth_audio_codec(doc_id) == "adpcm"
 
 
 def synth_adpcm_step_index(doc_id: int, ch: int) -> int:
@@ -2085,6 +2097,118 @@ def decode_adpcm_samples(payload: bytes) -> np.ndarray | None:
     return out
 
 
+# ---------------------------------------------------------------------------
+# G.711 mu-law (WAVE format 0x0007): REAL companded 8-bit audio, from
+# scratch — the classic CCITT/Sun segment+mantissa encoding.  Memoryless
+# (one byte per sample, no inter-sample state), so the media_audio
+# oracle replays encode+decode as pure integer CASE arithmetic.
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS, _ULAW_CLIP = 132, 32635
+
+
+def ulaw_encode(x: int) -> int:
+    """One PCM16 sample -> mu-law byte (sign | segment | mantissa,
+    ones-complemented per G.711)."""
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    if x > _ULAW_CLIP:
+        x = _ULAW_CLIP
+    x += _ULAW_BIAS
+    exp = 7
+    for e in range(8):
+        if x < (256 << e):
+            exp = e
+            break
+    mant = (x >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def ulaw_decode(u: int) -> int:
+    """Exact inverse of the segment quantization: mu-law byte ->
+    reconstructed PCM16 sample."""
+    u = ~u & 0xFF
+    sign, exp, mant = u & 0x80, (u >> 4) & 0x07, u & 0x0F
+    x = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return -x if sign else x
+
+
+def synth_ulaw_payload(doc_id: int) -> bytes:
+    """A *valid* G.711 mu-law RIFF/WAVE container (format 0x0007,
+    8 bits/sample, mandatory fact chunk): the closed-form sample
+    stream companded one byte per sample, channels interleaved."""
+    nch, rate, n = synth_audio_dims(doc_id)
+    data = bytes(
+        ulaw_encode(synth_sample(doc_id, i, ch))
+        for i in range(n)
+        for ch in range(nch)
+    )
+    fmt = struct.pack("<HHIIHHH", 7, nch, rate, rate * nch, nch, 8, 0)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    if len(data) % 2:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_ulaw_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(n_channels, sample_rate, bits=8, n_samples) from raw mu-law
+    WAVE bytes — strict: format tag 0x0007, 8-bit samples, block align
+    = n_channels, the mandatory fact chunk, and a data chunk actually
+    holding n_samples * n_channels bytes."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, fact, data_len = 12, None, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if tag == b"fmt " and length >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"fact" and length >= 4:
+            (fact,) = struct.unpack("<I", body[:4])
+        elif tag == b"data":
+            data_len = length
+        pos += 8 + length + (length & 1)
+    if fmt is None or fact is None or data_len is None:
+        return None
+    tag16, nch, rate, _, block_align, bits = fmt
+    if tag16 != 7 or bits != 8 or nch not in (1, 2) or block_align != nch:
+        return None
+    if data_len != fact * nch:
+        return None
+    return nch, rate, 8, fact
+
+
+def decode_ulaw_samples(payload: bytes) -> np.ndarray | None:
+    """Real mu-law decode: (n_samples, n_channels) int16 via the
+    256-entry expansion of :func:`ulaw_decode` (vectorized table
+    lookup), or None for malformed containers."""
+    hdr = parse_ulaw_header(payload)
+    if hdr is None:
+        return None
+    nch, _, _, n = hdr
+    b, pos = payload, 12
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if tag == b"data":
+            raw = np.frombuffer(b[pos + 8 : pos + 8 + length], dtype=np.uint8)
+            table = np.array([ulaw_decode(u) for u in range(256)],
+                             dtype=np.int16)
+            return table[raw].reshape(n, nch)
+        pos += 8 + length + (length & 1)
+    return None
+
+
 AUDIO_STATS_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("n_channels", T.IntegerType()),
@@ -2110,6 +2234,9 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
                 if s is None:
                     hdr = parse_adpcm_header(p)
                     s = decode_adpcm_samples(p)
+                if s is None:
+                    hdr = parse_ulaw_header(p)
+                    s = decode_ulaw_samples(p)
                 if hdr is None or s is None:
                     rows.append((int(mid), -1, -1, 0, 0, -1))
                 else:
@@ -2143,9 +2270,10 @@ def media_audio_from_documents(docs: DataFrame) -> DataFrame:
                     "media_id": pdf["doc_id"].astype("int64"),
                     "kind": "audio",
                     "payload": [
-                        synth_adpcm_payload(int(d))
-                        if synth_audio_is_adpcm(int(d))
-                        else synth_audio_payload(int(d))
+                        {"pcm": synth_audio_payload,
+                         "adpcm": synth_adpcm_payload,
+                         "ulaw": synth_ulaw_payload}[
+                            synth_audio_codec(int(d))](int(d))
                         for d in pdf["doc_id"]
                     ],
                 }
@@ -2380,6 +2508,8 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         s = decode_wav_samples(payload)
         if s is None:
             s = decode_adpcm_samples(payload)
+        if s is None:
+            s = decode_ulaw_samples(payload)
         if s is not None:
             hist, _ = np.histogram(s.reshape(-1), bins=8, range=(-32768, 32768))
             return (hist / s.size).astype(np.float32)

@@ -1775,7 +1775,8 @@ def media_pixels(spark, sf_dir):
              1 + (doc_id // 3) % 2 AS nch,
              8000 + 100 * (doc_id % 40) AS rate,
              1 + (doc_id * 11) % 480 AS n,
-             (doc_id // 6) % 2 = 1 AS is_adpcm
+             (doc_id // 6) % 3 = 1 AS is_adpcm,
+             (doc_id // 6) % 3 = 2 AS is_ulaw
       FROM documents WHERE doc_id % 3 = 1
     ),
     pcm AS (
@@ -1785,7 +1786,41 @@ def media_pixels(spark, sf_dir):
       FROM aud a,
            UNNEST(generate_series(0, 479)) i(i),
            UNNEST(generate_series(0, 1)) c(c)
-      WHERE NOT a.is_adpcm AND i.i < a.n AND c.c < a.nch
+      WHERE NOT a.is_adpcm AND NOT a.is_ulaw AND i.i < a.n AND c.c < a.nch
+      GROUP BY 1
+    ),
+    -- G.711 mu-law: memoryless companding, so encode+decode is pure
+    -- integer CASE arithmetic per sample (segment = MSB position of
+    -- the biased magnitude; p3 = 2^(segment+3); the reconstruction is
+    -- (mantissa*8 + 132) * 2^segment - 132, re-signed)
+    ulaw AS (
+      SELECT doc_id, SUM(dec) AS s, MAX(dec) AS mx
+      FROM (
+        SELECT doc_id,
+               CASE WHEN neg THEN -mag ELSE mag END AS dec
+        FROM (
+          SELECT doc_id, neg,
+                 ((xb // p3) % 16) * p3 + 132 * (p3 // 8) - 132 AS mag
+          FROM (
+            SELECT doc_id, neg,
+                   CASE WHEN xb < 256 THEN 8 WHEN xb < 512 THEN 16
+                        WHEN xb < 1024 THEN 32 WHEN xb < 2048 THEN 64
+                        WHEN xb < 4096 THEN 128 WHEN xb < 8192 THEN 256
+                        WHEN xb < 16384 THEN 512 ELSE 1024 END AS p3,
+                   xb
+            FROM (
+              SELECT a.doc_id, x0 < 0 AS neg,
+                     LEAST(32635, ABS(x0)) + 132 AS xb
+              FROM aud a,
+                   UNNEST(generate_series(0, 479)) i(i),
+                   UNNEST(generate_series(0, 1)) c(c),
+                   LATERAL (SELECT (a.doc_id + 31 * i.i + 17 * c.c) % 61681
+                                   - 30840 AS x0) t
+              WHERE a.is_ulaw AND i.i < a.n AND c.c < a.nch
+            )
+          )
+        )
+      )
       GROUP BY 1
     ),
     -- IMA-ADPCM reconstruction: the exact integer recurrence of
@@ -1842,7 +1877,8 @@ def media_pixels(spark, sf_dir):
       SELECT doc_id, SUM(ssum) AS s, MAX(smax) AS mx
       FROM st WHERE k = n GROUP BY 1
     ),
-    vals AS (SELECT * FROM pcm UNION ALL SELECT * FROM adp)
+    vals AS (SELECT * FROM pcm UNION ALL SELECT * FROM adp
+             UNION ALL SELECT * FROM ulaw)
     SELECT a.doc_id AS media_id,
            CAST(a.nch AS INT) AS n_channels,
            CAST(a.rate AS INT) AS sample_rate,
@@ -1853,18 +1889,18 @@ def media_pixels(spark, sf_dir):
     """,
 )
 def media_audio(spark, sf_dir):
-    """REAL audio decode for the WAV tier: alternating audio docs carry
-    valid PCM16 or IMA-ADPCM (format 0x0011) RIFF containers
-    (``synth_audio_is_adpcm``); the Spark path walks the RIFF chunks
-    and decodes interleaved PCM frames (``decode_wav_samples``) or the
-    4-bit compressed stream (``decode_adpcm_samples`` — real IMA
-    step-table recurrence, block headers, channel-interleaved nibble
-    words).  The oracle recomputes PCM sums from the closed-form sample
-    arithmetic and ADPCM sums by replaying the identical integer
-    encode+decode recurrence in a recursive CTE — so a one-bit
-    divergence anywhere in quantize -> pack -> container -> unpack ->
-    reconstruct fails the gate.  Remaining declared stubs: transform /
-    inter-frame-predicted codecs (mp3/aac/h264) only."""
+    """REAL audio decode for the WAV tier: audio docs rotate through
+    THREE codecs (``synth_audio_codec``) — PCM16, IMA ADPCM (format
+    0x0011) and G.711 mu-law (format 0x0007) — and the Spark path
+    decodes whichever container arrives (``decode_wav_samples`` /
+    ``decode_adpcm_samples`` / ``decode_ulaw_samples``).  The oracle
+    recomputes PCM sums from the closed-form sample arithmetic, ADPCM
+    sums by replaying the identical integer recurrence in a recursive
+    CTE, and mu-law sums with the segment+mantissa companding as pure
+    CASE arithmetic — so a one-bit divergence anywhere in quantize ->
+    pack -> container -> unpack -> reconstruct fails the gate for any
+    tier.  Remaining declared stubs: transform / inter-frame-predicted
+    codecs (mp3/aac/h264) only."""
     from . import multimodal
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

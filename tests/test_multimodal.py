@@ -648,7 +648,8 @@ def test_adpcm_roundtrip_exact():
 
     saw_mono = saw_stereo = False
     any_lossy = False
-    for doc_id in (7, 10, 19, 22, 31, 34, 43, 1003):
+    # 3-way codec split: ADPCM docs are (doc_id // 6) % 3 == 1
+    for doc_id in (7, 10, 25, 28, 43, 46, 64, 1015):
         assert doc_id % 3 == 1 and multimodal.synth_audio_is_adpcm(doc_id)
         s = multimodal.decode_adpcm_samples(
             multimodal.synth_adpcm_payload(doc_id)
@@ -694,23 +695,76 @@ def test_adpcm_parser_strictness():
 
 
 def test_audio_population_alternates_codecs():
-    # successive audio docs alternate PCM16 / IMA-ADPCM and both feed
-    # wav_sample_stats through the same schema
-    pcm_doc, adpcm_doc = 1, 7
-    assert not multimodal.synth_audio_is_adpcm(pcm_doc)
-    assert multimodal.synth_audio_is_adpcm(adpcm_doc)
+    # audio docs rotate PCM16 / IMA-ADPCM / G.711 mu-law and all three
+    # feed wav_sample_stats through the same schema
+    assert multimodal.synth_audio_codec(1) == "pcm"
+    assert multimodal.synth_audio_codec(7) == "adpcm"
+    assert multimodal.synth_audio_codec(13) == "ulaw"
     assert multimodal.decode_wav_samples(
-        multimodal.synth_audio_payload(pcm_doc)
+        multimodal.synth_audio_payload(1)
     ) is not None
     assert multimodal.decode_adpcm_samples(
-        multimodal.synth_adpcm_payload(adpcm_doc)
+        multimodal.synth_adpcm_payload(7)
     ) is not None
-    # all four codec x channel-count combinations occur in the population
+    assert multimodal.decode_ulaw_samples(
+        multimodal.synth_ulaw_payload(13)
+    ) is not None
+    # all six codec x channel-count combinations occur in the population
     combos = set()
-    for d in range(1, 200, 3):
+    for d in range(1, 300, 3):
         nch, _, _ = multimodal.synth_audio_dims(d)
-        combos.add((multimodal.synth_audio_is_adpcm(d), nch))
-    assert combos == {(False, 1), (False, 2), (True, 1), (True, 2)}
+        combos.add((multimodal.synth_audio_codec(d), nch))
+    assert combos == {
+        ("pcm", 1), ("pcm", 2), ("adpcm", 1), ("adpcm", 2),
+        ("ulaw", 1), ("ulaw", 2),
+    }
+
+
+def test_ulaw_roundtrip_exact_and_lossy():
+    # container decode must equal the direct companding of the
+    # closed-form samples; the codec is genuinely lossy; the decode
+    # extremes match the canonical G.711 table (+-32124)
+    import numpy as np
+
+    assert multimodal.ulaw_decode(multimodal.ulaw_encode(32767)) == 32124
+    assert multimodal.ulaw_decode(multimodal.ulaw_encode(-32768)) == -32124
+    lossy = False
+    for doc_id in (13, 16, 31, 34, 49, 1003):
+        assert multimodal.synth_audio_codec(doc_id) == "ulaw"
+        nch, _, n = multimodal.synth_audio_dims(doc_id)
+        s = multimodal.decode_ulaw_samples(multimodal.synth_ulaw_payload(doc_id))
+        assert s is not None and s.shape == (n, nch)
+        want = np.array([
+            [multimodal.ulaw_decode(multimodal.ulaw_encode(
+                multimodal.synth_sample(doc_id, i, ch)))
+             for ch in range(nch)] for i in range(n)
+        ])
+        assert np.array_equal(s, want), doc_id
+        orig = np.array([
+            [multimodal.synth_sample(doc_id, i, ch) for ch in range(nch)]
+            for i in range(n)
+        ])
+        lossy = lossy or not np.array_equal(s, orig)
+    assert lossy
+
+
+def test_ulaw_parser_strictness():
+    import struct as _s
+
+    p = multimodal.synth_ulaw_payload(13)
+    assert multimodal.decode_ulaw_samples(p[:-3]) is None       # truncated
+    assert multimodal.decode_ulaw_samples(
+        multimodal.synth_audio_payload(1)) is None              # PCM != ulaw
+    assert multimodal.decode_wav_samples(p) is None             # and vice versa
+    # fact chunk is mandatory
+    i = p.find(b"fact")
+    nofact = p[:i] + p[i + 12:]
+    nofact = nofact[:4] + _s.pack("<I", len(nofact) - 8) + nofact[8:]
+    assert multimodal.decode_ulaw_samples(nofact) is None
+    # fact disagreeing with the data length is rejected
+    mut = bytearray(p)
+    mut[i + 8] ^= 1
+    assert multimodal.decode_ulaw_samples(bytes(mut)) is None
 
 
 def test_jpeg_420_subsampling_roundtrip_exact():
