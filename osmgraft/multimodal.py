@@ -888,6 +888,18 @@ def synth_jpeg_is_progressive(doc_id: int) -> bool:
     return (doc_id // 9) % 5 == 4
 
 
+def synth_jpeg_succ_approx(doc_id: int) -> bool:
+    """Which progressive JPEGs additionally use SUCCESSIVE
+    APPROXIMATION (T.81 G.1.2.3): alternating halves of the
+    progressive population via ``(doc_id // 90) % 2`` — every scan is
+    emitted twice, first at reduced precision (Al = 1, AC magnitudes
+    truncated, DC arithmetic-shifted) and then as a refinement scan
+    (Ah = 1, Al = 0) carrying newly-significant coefficients and raw
+    correction bits.  Like spectral selection, this restructures the
+    entropy stream only — decoded coefficients are bit-identical."""
+    return synth_jpeg_is_progressive(doc_id) and (doc_id // 90) % 2 == 1
+
+
 def _jpeg_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
@@ -1014,6 +1026,63 @@ def _jpeg_encode_ac_band(bw, zz, ss: int, se: int, ac_code, eobrun: int) -> int:
     return eobrun
 
 
+def _jpeg_refine_flush_eob(bw, ac_code, st: dict) -> None:
+    """Flush a refinement scan's pending EOB run: the EOBn symbol plus
+    every correction bit buffered while the run was open (T.81
+    G.1.2.3 / the classic encoder's BE buffer)."""
+    n = st["eobrun"]
+    if n:
+        r = n.bit_length() - 1
+        c, ln = ac_code[r << 4]
+        bw.write(c, ln)
+        if r:
+            bw.write(n - (1 << r), r)
+        for bit in st["be"]:
+            bw.write(bit, 1)
+    st["eobrun"] = 0
+    st["be"] = []
+
+
+def _jpeg_encode_ac_refine_block(bw, zz, ss, se, al, ac_code, st) -> None:
+    """One block of an AC successive-approximation refinement scan:
+    magnitudes with (|v| >> al) == 1 are newly significant (run-length
+    counts ZERO-history positions only, sign as one raw bit);
+    already-nonzero history positions contribute one correction bit
+    each, buffered and emitted after the next symbol; trailing
+    zero-history runs fold into the scan-wide EOB run."""
+    r = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        t = abs(zz[k]) >> al
+        if t == 0:
+            r += 1
+            continue
+        if t > 1:  # history already nonzero: correction bit
+            br_bits.append(t & 1)
+            continue
+        # newly significant coefficient
+        _jpeg_refine_flush_eob(bw, ac_code, st)
+        while r > 15:
+            c, ln = ac_code[0xF0]
+            bw.write(c, ln)
+            r -= 16
+            for bit in br_bits:
+                bw.write(bit, 1)
+            br_bits = []
+        c, ln = ac_code[(r << 4) | 1]
+        bw.write(c, ln)
+        bw.write(0 if zz[k] < 0 else 1, 1)
+        for bit in br_bits:
+            bw.write(bit, 1)
+        br_bits = []
+        r = 0
+    if r or br_bits:
+        st["eobrun"] += 1
+        st["be"] += br_bits
+        if st["eobrun"] == 32767:
+            _jpeg_refine_flush_eob(bw, ac_code, st)
+
+
 def _jpeg_block_zz(ident: int, bx: int, by: int, comp: int) -> list[int]:
     """Full 64-entry zigzag coefficient vector of block (bx, by) for
     component 0 (Y), 1 (Cb) or 2 (Cr) — the closed forms placed at
@@ -1046,12 +1115,14 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
         synth_jpeg_restart_interval(doc_id),
         synth_jpeg_is_subsampled(doc_id),
         synth_jpeg_is_progressive(doc_id),
+        synth_jpeg_succ_approx(doc_id),
     )
 
 
 def _jpeg_encode_image(
     ident: int, w: int, h: int, color: bool, rsti: int,
     subsamp: bool = False, progressive: bool = False,
+    succ_approx: bool = False,
 ) -> bytes:
     """Entropy-code one JPEG image whose quantized coefficients are
     the :func:`synth_jpeg_coeffs` / :func:`synth_jpeg_chroma_coeffs`
@@ -1080,65 +1151,129 @@ def _jpeg_encode_image(
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     if progressive:
-        # --- scan 1: DC of every component, interleaved -------------
-        bwdc = _MsbBitWriter()
-        preds = [0, 0, 0]
-        mcu = 0
+        sa = succ_approx  # emit every scan twice: Al=1 first + refinement
         if color and subsamp:
             mcux, mcuy = (w + 15) // 16, (h + 15) // 16
         else:
             mcux, mcuy = (w + 7) // 8, (h + 7) // 8
         n_mcu = mcux * mcuy
-        for my in range(mcuy):
-            for mx in range(mcux):
-                ybl = (
-                    [(2 * mx + dx, 2 * my + dy) for dy in range(2)
-                     for dx in range(2)]
-                    if color and subsamp else [(mx, my)]
-                )
-                for bx, by in ybl:
-                    preds[0] = _jpeg_encode_dc(
-                        bwdc, synth_jpeg_coeffs(doc_id, bx, by)[0],
-                        dc_code, preds[0],
+
+        def mcu_blocks():
+            """(mx, my, [(comp, bx, by), ...]) per interleaved MCU."""
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blocks = (
+                        [(0, 2 * mx + dx, 2 * my + dy)
+                         for dy in range(2) for dx in range(2)]
+                        if color and subsamp else [(0, mx, my)]
                     )
-                if color:
-                    cb, cr = synth_jpeg_chroma_coeffs(doc_id, mx, my)
-                    preds[1] = _jpeg_encode_dc(bwdc, cb[0], dc2_code, preds[1])
-                    preds[2] = _jpeg_encode_dc(bwdc, cr[0], dc2_code, preds[2])
+                    if color:
+                        blocks += [(1, mx, my), (2, mx, my)]
+                    yield mx, my, blocks
+
+        def dc_first_scan(al):
+            """Interleaved DC scan at point transform Al=al (DC uses
+            arithmetic shift, T.81 G.1.2.1)."""
+            bwdc = _MsbBitWriter()
+            preds = [0, 0, 0]
+            mcu = 0
+            for _, _, blocks in mcu_blocks():
+                for comp, bx, by in blocks:
+                    dc = _jpeg_block_zz(doc_id, bx, by, comp)[0] >> al
+                    code = dc_code if comp == 0 else dc2_code
+                    preds[comp] = _jpeg_encode_dc(bwdc, dc, code, preds[comp])
                 mcu += 1
                 if rsti and mcu % rsti == 0 and mcu < n_mcu:
                     bwdc.restart(mcu // rsti - 1)
                     preds = [0, 0, 0]
-        if color:
-            dc_sos = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0])
-        else:
-            dc_sos = bytes([1, 1, 0x00, 0, 0, 0])
-        scans = [(dc_sos, bwdc.finish())]
+            if color:
+                sos = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, al])
+            else:
+                sos = bytes([1, 1, 0x00, 0, 0, al])
+            return (sos, bwdc.finish())
 
-        # --- AC band scans, one component each (T.81: ns must be 1) --
-        def ac_scan(comp, cid, ss, se, code, tid):
+        def dc_refine_scan(ah, al):
+            """DC refinement: one raw bit per block, (dc >> al) & 1."""
+            bwdc = _MsbBitWriter()
+            mcu = 0
+            for _, _, blocks in mcu_blocks():
+                for comp, bx, by in blocks:
+                    dc = _jpeg_block_zz(doc_id, bx, by, comp)[0]
+                    bwdc.write((dc >> al) & 1, 1)
+                mcu += 1
+                if rsti and mcu % rsti == 0 and mcu < n_mcu:
+                    bwdc.restart(mcu // rsti - 1)
+            ahal = (ah << 4) | al
+            if color:
+                sos = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, ahal])
+            else:
+                sos = bytes([1, 1, 0x00, 0, 0, ahal])
+            return (sos, bwdc.finish())
+
+        def comp_grid(comp):
             cw, ch = (w, h)
             if comp and color and subsamp:
                 cw, ch = (w + 1) // 2, (h + 1) // 2
+            return (cw + 7) // 8, (ch + 7) // 8
+
+        def ac_scan(comp, cid, ss, se, code, tid, al=0):
+            """AC first scan of band [ss, se] at point transform Al=al
+            (magnitudes truncated, T.81 G.1.2.2)."""
+            gw, gh = comp_grid(comp)
             bwa = _MsbBitWriter()
             eob, blk, m = 0, 0, 0
-            for by in range((ch + 7) // 8):
-                for bx in range((cw + 7) // 8):
+            for by in range(gh):
+                for bx in range(gw):
                     if rsti and blk and blk % rsti == 0:
                         eob = _jpeg_flush_eobrun(bwa, code, eob)
                         bwa.restart(m)
                         m += 1
                     zz = _jpeg_block_zz(doc_id, bx, by, comp)
+                    if al:
+                        zz = [
+                            (abs(v) >> al) * (1 if v >= 0 else -1) for v in zz
+                        ]
                     eob = _jpeg_encode_ac_band(bwa, zz, ss, se, code, eob)
                     blk += 1
             _jpeg_flush_eobrun(bwa, code, eob)
-            return (bytes([1, cid, tid, ss, se, 0]), bwa.finish())
+            return (bytes([1, cid, tid, ss, se, al]), bwa.finish())
 
-        scans.append(ac_scan(0, 1, 1, 4, ac_code, 0x00))
-        scans.append(ac_scan(0, 1, 5, 63, ac_code, 0x00))
+        def ac_refine_scan(comp, cid, ss, se, code, tid, ah, al):
+            """AC refinement scan (T.81 G.1.2.3): newly-significant
+            coefficients as (run, 1) symbols + sign bit, correction
+            bits for already-nonzero history, EOB runs buffering their
+            correction bits until the next flush."""
+            gw, gh = comp_grid(comp)
+            bwa = _MsbBitWriter()
+            st = {"eobrun": 0, "be": []}
+            blk, m = 0, 0
+            for by in range(gh):
+                for bx in range(gw):
+                    if rsti and blk and blk % rsti == 0:
+                        _jpeg_refine_flush_eob(bwa, code, st)
+                        bwa.restart(m)
+                        m += 1
+                    zz = _jpeg_block_zz(doc_id, bx, by, comp)
+                    _jpeg_encode_ac_refine_block(bwa, zz, ss, se, al, code, st)
+                    blk += 1
+            _jpeg_refine_flush_eob(bwa, code, st)
+            ahal = (ah << 4) | al
+            return (bytes([1, cid, tid, ss, se, ahal]), bwa.finish())
+
+        al0 = 1 if sa else 0
+        scans = [dc_first_scan(al0)]
+        scans.append(ac_scan(0, 1, 1, 4, ac_code, 0x00, al0))
+        scans.append(ac_scan(0, 1, 5, 63, ac_code, 0x00, al0))
         if color:
-            scans.append(ac_scan(1, 2, 1, 63, ac2_code, 0x01))
-            scans.append(ac_scan(2, 3, 1, 63, ac2_code, 0x01))
+            scans.append(ac_scan(1, 2, 1, 63, ac2_code, 0x01, al0))
+            scans.append(ac_scan(2, 3, 1, 63, ac2_code, 0x01, al0))
+        if sa:
+            scans.append(dc_refine_scan(1, 0))
+            scans.append(ac_refine_scan(0, 1, 1, 4, ac_code, 0x00, 1, 0))
+            scans.append(ac_refine_scan(0, 1, 5, 63, ac_code, 0x00, 1, 0))
+            if color:
+                scans.append(ac_refine_scan(1, 2, 1, 63, ac2_code, 0x01, 1, 0))
+                scans.append(ac_refine_scan(2, 3, 1, 63, ac2_code, 0x01, 1, 0))
 
         app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
         out = (
@@ -1582,7 +1717,10 @@ def _jpeg_decode_progressive_scan(
     approximation (Ah/Al != 0) is out of scope and refused loudly."""
     ns = body[0]
     ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
-    if ahal != 0:
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ah and al != ah - 1:
+        return None  # successive approximation refines one bit at a time
+    if al > 13:
         return None
     hmax = max(s[0] for s in comp_samp.values())
     vmax = max(s[1] for s in comp_samp.values())
@@ -1608,10 +1746,28 @@ def _jpeg_decode_progressive_scan(
             diff = _extend(v, s_)
         return pred + diff
 
-    if ss == 0:  # DC scan
-        if se != 0 or any(t is None for t in dcts):
+    if ss == 0:  # DC scan (first pass or successive-approx refinement)
+        if se != 0:
+            return None
+        if ah == 0 and any(t is None for t in dcts):
             return None
         preds = [0] * ns
+
+        def dc_block(j, ci, gy, gx):
+            """Decode/refine one block's DC into coeff[ci][gy, gx]."""
+            if ah:  # refinement: one raw bit adds precision Al
+                bit = br.read(1)
+                if bit is None:
+                    return False
+                coeff[ci][gy, gx, 0] += bit << al
+                return True
+            p = read_dc(dcts[j], preds[j])
+            if p is None:
+                return False
+            preds[j] = p
+            coeff[ci][gy, gx, 0] = p << al  # stored at full scale
+            return True
+
         if ns > 1:
             if ns != len(comp_order):
                 return None
@@ -1630,11 +1786,10 @@ def _jpeg_decode_progressive_scan(
                         sh, sv = comp_samp[comp_order[ci]]
                         for dy in range(sv):
                             for dx in range(sh):
-                                p = read_dc(dcts[j], preds[j])
-                                if p is None:
+                                if not dc_block(
+                                    j, ci, my * sv + dy, mx * sh + dx
+                                ):
                                     return None
-                                preds[j] = p
-                                coeff[ci][my * sv + dy, mx * sh + dx, 0] = p
         else:
             ci = idx[0]
             sh, sv = comp_samp[comp_order[ci]]
@@ -1647,11 +1802,8 @@ def _jpeg_decode_progressive_scan(
                             return None
                         preds = [0]
                     blk += 1
-                    p = read_dc(dcts[0], preds[0])
-                    if p is None:
+                    if not dc_block(0, ci, by, bx):
                         return None
-                    preds[0] = p
-                    coeff[ci][by, bx, 0] = p
         return br.pos
 
     # AC band scan: T.81 requires exactly one component
@@ -1670,10 +1822,15 @@ def _jpeg_decode_progressive_scan(
                 if not br.expect_restart(blk // rsti - 1):
                     return None
             blk += 1
+            row = coeff[ci][by, bx]
+            if ah:  # successive-approximation refinement block
+                eobrun = _jpeg_refine_ac_block(br, act, row, ss, se, al, eobrun)
+                if eobrun is None:
+                    return None
+                continue
             if eobrun:
                 eobrun -= 1
                 continue
-            row = coeff[ci][by, bx]
             k = ss
             while k <= se:
                 sym = _huff_decode(br, act)
@@ -1695,11 +1852,80 @@ def _jpeg_decode_progressive_scan(
                 v = br.read(s_)
                 if v is None:
                     return None
-                row[k] = _extend(v, s_)
+                row[k] = _extend(v, s_) << al  # stored at full scale
                 k += 1
     if eobrun:
         return None  # declared run overran the scan's block count
     return br.pos
+
+
+def _jpeg_refine_ac_block(br, act, row, ss, se, al, eobrun):
+    """One block of an AC successive-approximation refinement scan
+    (T.81 G.1.2.3): run lengths count zero-history positions,
+    (run, 1) symbols introduce +-(1 << al) at the landing position,
+    every nonzero-history position passed (including inside EOB-run
+    blocks) consumes one correction bit.  Returns the updated EOB run
+    or None on corruption."""
+    p1 = 1 << al
+
+    def correct(k):
+        bit = br.read(1)
+        if bit is None:
+            return False
+        if bit and (abs(int(row[k])) & p1) == 0:
+            row[k] += p1 if row[k] > 0 else -p1
+        return True
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            if row[k] and not correct(k):
+                return None
+        return eobrun - 1
+    k = ss
+    hit_eob = False
+    while k <= se:
+        sym = _huff_decode(br, act)
+        if sym is None:
+            return None
+        r, s_ = sym >> 4, sym & 0x0F
+        newval = 0
+        if s_ == 0:
+            if r != 15:
+                ext = br.read(r) if r else 0
+                if ext is None:
+                    return None
+                eobrun = (1 << r) + ext - 1
+                hit_eob = True
+                break
+            # ZRL: skip 16 zero-history positions (corrections en route)
+        elif s_ == 1:
+            bit = br.read(1)
+            if bit is None:
+                return None
+            newval = p1 if bit else -p1
+        else:
+            return None  # refinement magnitudes are always 1
+        while k <= se:
+            if row[k] != 0:
+                if not correct(k):
+                    return None
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval:
+            if k > se:
+                return None
+            row[k] = newval
+        k += 1
+    if hit_eob:
+        # the EOB covers this block too: refine its remaining history
+        while k <= se:
+            if row[k] and not correct(k):
+                return None
+            k += 1
+    return eobrun
 
 
 def _jpeg_finalize(coeff, comp_order, comp_samp, comp_qmap, qtabs, w, h):

@@ -882,11 +882,21 @@ def test_jpeg_progressive_strictness():
     # truncation anywhere (mid-scan or before EOI) is a loud None
     assert multimodal.decode_jpeg_pixels(p[:-2]) is None
     assert multimodal.decode_jpeg_pixels(p[:360]) is None
-    # successive approximation (Ah/Al != 0) is declared out of scope
+    # successive approximation is supported now — but a declared Al
+    # on a stream encoded at full precision must NOT yield the true
+    # raster (the point transform rescales every DC)
+    import numpy as np
+
+    right = multimodal.decode_jpeg_pixels(p)
     mut = bytearray(p)
     sos = mut.find(b"\xff\xda")
     ln = _s.unpack(">H", mut[sos + 2:sos + 4])[0]
     mut[sos + 2 + ln - 1] = 0x01  # AhAl of the first (DC) scan
+    wrong = multimodal.decode_jpeg_pixels(bytes(mut))
+    assert wrong is None or not np.array_equal(wrong, right)
+    # an inconsistent refinement (Al != Ah - 1) is rejected outright
+    mut = bytearray(p)
+    mut[sos + 2 + ln - 1] = 0x31
     assert multimodal.decode_jpeg_pixels(bytes(mut)) is None
     # an AC scan claiming Se > 63 is rejected
     mut = bytearray(p)
@@ -920,3 +930,79 @@ def test_jpeg_progressive_population_combos():
         (True, False, False), (True, False, True),
         (True, True, False), (True, True, True),
     }
+
+
+def test_jpeg_successive_approximation_roundtrip_exact():
+    # successive approximation (Al=1 first scans + Ah=1/Al=0
+    # refinement scans with correction bits and EOB-run bit buffering)
+    # must reconstruct coefficients BIT-EXACTLY: decoded pixels equal
+    # the baseline encoding of the same closed form
+    import numpy as np
+
+    combos = set()
+    for doc_id in (129, 174, 309, 354, 489, 534):
+        assert multimodal.synth_jpeg_succ_approx(doc_id)
+        p = multimodal.synth_jpeg_payload(doc_id)
+        px = multimodal.decode_jpeg_pixels(p)
+        cf = _jpeg_closed_form(doc_id)
+        assert px is not None and np.array_equal(px, cf), doc_id
+        combos.add((
+            multimodal.synth_jpeg_is_color(doc_id),
+            multimodal.synth_jpeg_restart_interval(doc_id) > 0,
+        ))
+    # gray and color (4:2:0) docs, each with and without restarts
+    assert combos == {(False, False), (False, True), (True, False),
+                      (True, True)}
+
+
+def test_jpeg_succ_approx_bits_are_load_bearing():
+    # flipping one raw correction bit in the DC refinement scan must
+    # change decoded pixels (the refinement stream is semantics, not
+    # padding): find the DC-refinement SOS (AhAl = 0x10, Ss = Se = 0)
+    # and corrupt its first payload byte
+    import struct as _s
+    import numpy as np
+
+    p = multimodal.synth_jpeg_payload(129)  # gray SA doc
+    right = multimodal.decode_jpeg_pixels(p)
+    pos = 2
+    target = None
+    while pos + 4 <= len(p):
+        if p[pos] != 0xFF:
+            pos += 1
+            continue
+        m = p[pos + 1]
+        if m == 0xDA:
+            ln = _s.unpack(">H", p[pos + 2:pos + 4])[0]
+            body = p[pos + 4:pos + 2 + ln]
+            ns = body[0]
+            if body[1 + 2 * ns] == 0 and body[3 + 2 * ns] == 0x01:
+                target = pos + 2 + ln  # first entropy byte of DC refine
+                break
+            pos += 2 + ln
+            continue
+        if m in (0xD8,) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        pos += 2 + _s.unpack(">H", p[pos + 2:pos + 4])[0]
+    assert target is not None
+    mut = bytearray(p)
+    mut[target] ^= 0x80  # flip the first refinement bit
+    wrong = multimodal.decode_jpeg_pixels(bytes(mut))
+    assert wrong is None or not np.array_equal(wrong, right)
+
+
+def test_jpeg_progressive_tier_split():
+    # the progressive population splits into spectral-selection-only
+    # and successive-approximation halves, and SA docs are progressive
+    prog = [d for d in range(3, 2000, 9)
+            if multimodal.synth_jpeg_is_progressive(d)]
+    sa = [d for d in prog if multimodal.synth_jpeg_succ_approx(d)]
+    assert sa and len(sa) < len(prog)
+    assert all(multimodal.synth_jpeg_is_progressive(d) for d in sa)
+    # non-progressive docs are never SA
+    assert not any(
+        multimodal.synth_jpeg_succ_approx(d)
+        for d in range(3, 2000, 9)
+        if not multimodal.synth_jpeg_is_progressive(d)
+    )
