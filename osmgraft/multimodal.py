@@ -2133,11 +2133,17 @@ _IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
 def synth_audio_codec(doc_id: int) -> str:
     """Which codec an audio doc (doc_id % 3 == 1) carries — a 3-way
     ``(doc_id // 6) % 3`` alternation over ``'pcm'`` (uncompressed
-    PCM16), ``'adpcm'`` (IMA ADPCM) and ``'ulaw'`` (G.711 mu-law);
-    combined with the independent mono/stereo alternation
-    (``(doc_id // 3) % 2``) all six codec x channel-count combinations
-    stay populated.  Oracle-shared arithmetic."""
-    return ("pcm", "adpcm", "ulaw")[(doc_id // 6) % 3]
+    PCM16), ``'adpcm'`` (IMA ADPCM) and the G.711 companding slot,
+    which itself alternates ``'ulaw'`` / ``'alaw'`` via
+    ``(doc_id // 18) % 2``; combined with the independent mono/stereo
+    alternation (``(doc_id // 3) % 2``) all eight codec x channel
+    combinations stay populated.  Oracle-shared arithmetic."""
+    slot = (doc_id // 6) % 3
+    if slot == 0:
+        return "pcm"
+    if slot == 1:
+        return "adpcm"
+    return "alaw" if (doc_id // 18) % 2 else "ulaw"
 
 
 def synth_audio_is_adpcm(doc_id: int) -> bool:
@@ -2360,17 +2366,54 @@ def ulaw_decode(u: int) -> int:
     return -x if sign else x
 
 
-def synth_ulaw_payload(doc_id: int) -> bytes:
-    """A *valid* G.711 mu-law RIFF/WAVE container (format 0x0007,
-    8 bits/sample, mandatory fact chunk): the closed-form sample
-    stream companded one byte per sample, channels interleaved."""
+_ALAW_SEG_END = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+
+def alaw_encode(x: int) -> int:
+    """One PCM16 sample -> A-law byte (classic CCITT segment encoding
+    on the 13-bit magnitude, even bits inverted by the 0x55 mask)."""
+    v = x >> 3  # 13-bit domain, arithmetic shift
+    if v >= 0:
+        mask, m = 0xD5, v
+    else:
+        mask, m = 0x55, -v - 1
+    seg = 7
+    for s in range(8):
+        if m <= _ALAW_SEG_END[s]:
+            seg = s
+            break
+    if seg < 2:
+        aval = (seg << 4) | ((m >> 1) & 0x0F)
+    else:
+        aval = (seg << 4) | ((m >> seg) & 0x0F)
+    return aval ^ mask
+
+
+def alaw_decode(a: int) -> int:
+    """Exact inverse of the A-law segment quantization."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def _g711_payload(doc_id: int, tag16: int, enc) -> bytes:
+    """A *valid* G.711 RIFF/WAVE container (8 bits/sample, mandatory
+    fact chunk): the closed-form sample stream companded one byte per
+    sample, channels interleaved."""
     nch, rate, n = synth_audio_dims(doc_id)
     data = bytes(
-        ulaw_encode(synth_sample(doc_id, i, ch))
+        enc(synth_sample(doc_id, i, ch))
         for i in range(n)
         for ch in range(nch)
     )
-    fmt = struct.pack("<HHIIHHH", 7, nch, rate, rate * nch, nch, 8, 0)
+    fmt = struct.pack("<HHIIHHH", tag16, nch, rate, rate * nch, nch, 8, 0)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -2382,11 +2425,24 @@ def synth_ulaw_payload(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def parse_ulaw_header(payload: bytes) -> tuple[int, int, int, int] | None:
-    """(n_channels, sample_rate, bits=8, n_samples) from raw mu-law
-    WAVE bytes — strict: format tag 0x0007, 8-bit samples, block align
-    = n_channels, the mandatory fact chunk, and a data chunk actually
-    holding n_samples * n_channels bytes."""
+def synth_ulaw_payload(doc_id: int) -> bytes:
+    """G.711 mu-law WAV (format 0x0007) of the closed-form samples."""
+    return _g711_payload(doc_id, 7, ulaw_encode)
+
+
+def synth_alaw_payload(doc_id: int) -> bytes:
+    """G.711 A-law WAV (format 0x0006) of the closed-form samples."""
+    return _g711_payload(doc_id, 6, alaw_encode)
+
+
+def parse_ulaw_header(
+    payload: bytes, want_tag: int = 7
+) -> tuple[int, int, int, int] | None:
+    """(n_channels, sample_rate, bits=8, n_samples) from raw G.711
+    WAVE bytes — strict: the expected format tag (0x0007 mu-law /
+    0x0006 A-law), 8-bit samples, block align = n_channels, the
+    mandatory fact chunk, and a data chunk actually holding
+    n_samples * n_channels bytes."""
     b = payload
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -2407,18 +2463,20 @@ def parse_ulaw_header(payload: bytes) -> tuple[int, int, int, int] | None:
     if fmt is None or fact is None or data_len is None:
         return None
     tag16, nch, rate, _, block_align, bits = fmt
-    if tag16 != 7 or bits != 8 or nch not in (1, 2) or block_align != nch:
+    if tag16 != want_tag or bits != 8 or nch not in (1, 2) or block_align != nch:
         return None
     if data_len != fact * nch:
         return None
     return nch, rate, 8, fact
 
 
-def decode_ulaw_samples(payload: bytes) -> np.ndarray | None:
-    """Real mu-law decode: (n_samples, n_channels) int16 via the
-    256-entry expansion of :func:`ulaw_decode` (vectorized table
-    lookup), or None for malformed containers."""
-    hdr = parse_ulaw_header(payload)
+def parse_alaw_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """A-law variant of :func:`parse_ulaw_header` (format 0x0006)."""
+    return parse_ulaw_header(payload, want_tag=6)
+
+
+def _decode_g711_samples(payload, want_tag, dec) -> np.ndarray | None:
+    hdr = parse_ulaw_header(payload, want_tag=want_tag)
     if hdr is None:
         return None
     nch, _, _, n = hdr
@@ -2428,11 +2486,23 @@ def decode_ulaw_samples(payload: bytes) -> np.ndarray | None:
         (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
         if tag == b"data":
             raw = np.frombuffer(b[pos + 8 : pos + 8 + length], dtype=np.uint8)
-            table = np.array([ulaw_decode(u) for u in range(256)],
-                             dtype=np.int16)
+            table = np.array([dec(u) for u in range(256)], dtype=np.int16)
             return table[raw].reshape(n, nch)
         pos += 8 + length + (length & 1)
     return None
+
+
+def decode_ulaw_samples(payload: bytes) -> np.ndarray | None:
+    """Real mu-law decode: (n_samples, n_channels) int16 via the
+    256-entry expansion of :func:`ulaw_decode` (vectorized table
+    lookup), or None for malformed containers."""
+    return _decode_g711_samples(payload, 7, ulaw_decode)
+
+
+def decode_alaw_samples(payload: bytes) -> np.ndarray | None:
+    """Real A-law decode — same container contract as mu-law, format
+    tag 0x0006, the :func:`alaw_decode` expansion table."""
+    return _decode_g711_samples(payload, 6, alaw_decode)
 
 
 AUDIO_STATS_SCHEMA = T.StructType([
@@ -2463,6 +2533,9 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
                 if s is None:
                     hdr = parse_ulaw_header(p)
                     s = decode_ulaw_samples(p)
+                if s is None:
+                    hdr = parse_alaw_header(p)
+                    s = decode_alaw_samples(p)
                 if hdr is None or s is None:
                     rows.append((int(mid), -1, -1, 0, 0, -1))
                 else:
@@ -2498,7 +2571,8 @@ def media_audio_from_documents(docs: DataFrame) -> DataFrame:
                     "payload": [
                         {"pcm": synth_audio_payload,
                          "adpcm": synth_adpcm_payload,
-                         "ulaw": synth_ulaw_payload}[
+                         "ulaw": synth_ulaw_payload,
+                         "alaw": synth_alaw_payload}[
                             synth_audio_codec(int(d))](int(d))
                         for d in pdf["doc_id"]
                     ],
@@ -2736,6 +2810,8 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
             s = decode_adpcm_samples(payload)
         if s is None:
             s = decode_ulaw_samples(payload)
+        if s is None:
+            s = decode_alaw_samples(payload)
         if s is not None:
             hist, _ = np.histogram(s.reshape(-1), bins=8, range=(-32768, 32768))
             return (hist / s.size).astype(np.float32)

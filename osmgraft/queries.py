@@ -1776,7 +1776,8 @@ def media_pixels(spark, sf_dir):
              8000 + 100 * (doc_id % 40) AS rate,
              1 + (doc_id * 11) % 480 AS n,
              (doc_id // 6) % 3 = 1 AS is_adpcm,
-             (doc_id // 6) % 3 = 2 AS is_ulaw
+             (doc_id // 6) % 3 = 2 AND (doc_id // 18) % 2 = 0 AS is_ulaw,
+             (doc_id // 6) % 3 = 2 AND (doc_id // 18) % 2 = 1 AS is_alaw
       FROM documents WHERE doc_id % 3 = 1
     ),
     pcm AS (
@@ -1786,7 +1787,8 @@ def media_pixels(spark, sf_dir):
       FROM aud a,
            UNNEST(generate_series(0, 479)) i(i),
            UNNEST(generate_series(0, 1)) c(c)
-      WHERE NOT a.is_adpcm AND NOT a.is_ulaw AND i.i < a.n AND c.c < a.nch
+      WHERE NOT a.is_adpcm AND NOT a.is_ulaw AND NOT a.is_alaw
+        AND i.i < a.n AND c.c < a.nch
       GROUP BY 1
     ),
     -- G.711 mu-law: memoryless companding, so encode+decode is pure
@@ -1873,12 +1875,60 @@ def media_pixels(spark, sf_dir):
         )
       )
     ),
+    -- G.711 A-law: 13-bit magnitude segment encoding (even bits
+    -- masked); like mu-law it is memoryless, so encode+decode is pure
+    -- CASE arithmetic.  The 13-bit floor shift is emulated with
+    -- all-positive division: floor(x/8) -> x//8 for x >= 0, and the
+    -- encoder's -v-1 negative magnitude equals (-x-1)//8 directly.
+    alw AS (
+      SELECT doc_id, SUM(dec) AS s, MAX(dec) AS mx
+      FROM (
+        SELECT doc_id, CASE WHEN neg THEN -mag ELSE mag END AS dec
+        FROM (
+          SELECT doc_id, neg,
+                 CASE WHEN seg = 0 THEN mant * 16 + 8
+                      WHEN seg = 1 THEN mant * 16 + 264
+                      ELSE (mant * 16 + 264)
+                           * CASE seg WHEN 2 THEN 2 WHEN 3 THEN 4
+                                      WHEN 4 THEN 8 WHEN 5 THEN 16
+                                      WHEN 6 THEN 32 ELSE 64 END
+                 END AS mag
+          FROM (
+            SELECT doc_id, neg, seg,
+                   CASE WHEN seg < 2 THEN (m // 2) % 16
+                        ELSE (m // CASE seg WHEN 2 THEN 4 WHEN 3 THEN 8
+                                            WHEN 4 THEN 16 WHEN 5 THEN 32
+                                            WHEN 6 THEN 64 ELSE 128 END) % 16
+                   END AS mant
+            FROM (
+              SELECT doc_id, neg, m,
+                     CASE WHEN m <= 31 THEN 0 WHEN m <= 63 THEN 1
+                          WHEN m <= 127 THEN 2 WHEN m <= 255 THEN 3
+                          WHEN m <= 511 THEN 4 WHEN m <= 1023 THEN 5
+                          WHEN m <= 2047 THEN 6 ELSE 7 END AS seg
+              FROM (
+                SELECT a.doc_id, x0 < 0 AS neg,
+                       CASE WHEN x0 < 0 THEN (-x0 - 1) // 8
+                            ELSE x0 // 8 END AS m
+                FROM aud a,
+                     UNNEST(generate_series(0, 479)) i(i),
+                     UNNEST(generate_series(0, 1)) c(c),
+                     LATERAL (SELECT (a.doc_id + 31 * i.i + 17 * c.c) % 61681
+                                     - 30840 AS x0) t
+                WHERE a.is_alaw AND i.i < a.n AND c.c < a.nch
+              )
+            )
+          )
+        )
+      )
+      GROUP BY 1
+    ),
     adp AS (
       SELECT doc_id, SUM(ssum) AS s, MAX(smax) AS mx
       FROM st WHERE k = n GROUP BY 1
     ),
     vals AS (SELECT * FROM pcm UNION ALL SELECT * FROM adp
-             UNION ALL SELECT * FROM ulaw)
+             UNION ALL SELECT * FROM ulaw UNION ALL SELECT * FROM alw)
     SELECT a.doc_id AS media_id,
            CAST(a.nch AS INT) AS n_channels,
            CAST(a.rate AS INT) AS sample_rate,
@@ -1890,14 +1940,15 @@ def media_pixels(spark, sf_dir):
 )
 def media_audio(spark, sf_dir):
     """REAL audio decode for the WAV tier: audio docs rotate through
-    THREE codecs (``synth_audio_codec``) — PCM16, IMA ADPCM (format
-    0x0011) and G.711 mu-law (format 0x0007) — and the Spark path
-    decodes whichever container arrives (``decode_wav_samples`` /
-    ``decode_adpcm_samples`` / ``decode_ulaw_samples``).  The oracle
+    FOUR codecs (``synth_audio_codec``) — PCM16, IMA ADPCM (format
+    0x0011), G.711 mu-law (0x0007) and G.711 A-law (0x0006) — and the
+    Spark path decodes whichever container arrives
+    (``decode_wav_samples`` / ``decode_adpcm_samples`` /
+    ``decode_ulaw_samples`` / ``decode_alaw_samples``).  The oracle
     recomputes PCM sums from the closed-form sample arithmetic, ADPCM
     sums by replaying the identical integer recurrence in a recursive
-    CTE, and mu-law sums with the segment+mantissa companding as pure
-    CASE arithmetic — so a one-bit divergence anywhere in quantize ->
+    CTE, and both G.711 sums with the segment+mantissa companding as
+    pure CASE arithmetic — so a one-bit divergence anywhere in quantize ->
     pack -> container -> unpack -> reconstruct fails the gate for any
     tier.  Remaining declared stubs: transform / inter-frame-predicted
     codecs (mp3/aac/h264) only."""

@@ -709,14 +709,18 @@ def test_audio_population_alternates_codecs():
     assert multimodal.decode_ulaw_samples(
         multimodal.synth_ulaw_payload(13)
     ) is not None
-    # all six codec x channel-count combinations occur in the population
+    assert multimodal.synth_audio_codec(31) == "alaw"
+    assert multimodal.decode_alaw_samples(
+        multimodal.synth_alaw_payload(31)
+    ) is not None
+    # all eight codec x channel-count combinations occur
     combos = set()
-    for d in range(1, 300, 3):
+    for d in range(1, 400, 3):
         nch, _, _ = multimodal.synth_audio_dims(d)
         combos.add((multimodal.synth_audio_codec(d), nch))
     assert combos == {
         ("pcm", 1), ("pcm", 2), ("adpcm", 1), ("adpcm", 2),
-        ("ulaw", 1), ("ulaw", 2),
+        ("ulaw", 1), ("ulaw", 2), ("alaw", 1), ("alaw", 2),
     }
 
 
@@ -729,7 +733,7 @@ def test_ulaw_roundtrip_exact_and_lossy():
     assert multimodal.ulaw_decode(multimodal.ulaw_encode(32767)) == 32124
     assert multimodal.ulaw_decode(multimodal.ulaw_encode(-32768)) == -32124
     lossy = False
-    for doc_id in (13, 16, 31, 34, 49, 1003):
+    for doc_id in (13, 16, 49, 52, 85, 88):
         assert multimodal.synth_audio_codec(doc_id) == "ulaw"
         nch, _, n = multimodal.synth_audio_dims(doc_id)
         s = multimodal.decode_ulaw_samples(multimodal.synth_ulaw_payload(doc_id))
@@ -1006,3 +1010,85 @@ def test_jpeg_progressive_tier_split():
         for d in range(3, 2000, 9)
         if not multimodal.synth_jpeg_is_progressive(d)
     )
+
+
+def test_adpcm_multiblock_decode():
+    # the decoder is block-structured (each block re-seeds predictor +
+    # step index from its headers — the property that makes a 100 TB
+    # recording decode block-parallel); the synthetic population is
+    # single-block, so build a 2-block mono container by hand and
+    # check the reconstruction against the per-block recurrence
+    import struct as _s
+    import numpy as np
+
+    spb = 9  # 1 header sample + 8 nibbles -> block_align = 4 + 4
+    n = 14   # 9 + 5: second block partially filled
+    samples = [((37 + 31 * i) % 61681) - 30840 for i in range(n)]
+    blocks, want = [], []
+    for b0 in range(0, n, spb):
+        chunk = samples[b0:b0 + spb]
+        pred, sidx = chunk[0], (7 * b0) % 89
+        want.append(pred)
+        head = _s.pack("<hBB", pred, sidx, 0)
+        nibs = []
+        for x in chunk[1:]:
+            step = multimodal._IMA_STEP_TABLE[sidx]
+            diff = x - pred
+            sign = 8 if diff < 0 else 0
+            delta, diffq = multimodal._ima_quantize(
+                -diff if sign else diff, step)
+            pred = max(-32768, min(32767, pred + (-diffq if sign else diffq)))
+            sidx = max(0, min(88, sidx + multimodal._IMA_INDEX_TABLE[delta]))
+            nibs.append(sign | delta)
+            want.append(pred)
+        nibs += [0] * (8 - len(nibs))
+        blocks.append(head + bytes(
+            nibs[2 * b] | (nibs[2 * b + 1] << 4) for b in range(4)
+        ))
+    data = b"".join(blocks)
+    fmt = _s.pack("<HHIIHHHH", 0x11, 1, 8000, 8000 * 8 // spb, 8, 4, 2, spb)
+    body = (
+        b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"fact" + _s.pack("<II", 4, n)
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + _s.pack("<I", len(body)) + body
+    s = multimodal.decode_adpcm_samples(payload)
+    assert s is not None and s.shape == (n, 1)
+    assert np.array_equal(s[:, 0], np.array(want, dtype=np.int16))
+
+
+def test_alaw_roundtrip_exact_and_strict():
+    # A-law (format 0x0006): canonical extremes +-32256, container
+    # roundtrip equal to the direct companding, strict tag separation
+    # from mu-law
+    import numpy as np
+
+    assert multimodal.alaw_decode(multimodal.alaw_encode(32767)) == 32256
+    assert multimodal.alaw_decode(multimodal.alaw_encode(-32768)) == -32256
+    lossy = False
+    for doc_id in (31, 34, 67, 70, 1003):
+        assert multimodal.synth_audio_codec(doc_id) == "alaw"
+        nch, _, n = multimodal.synth_audio_dims(doc_id)
+        s = multimodal.decode_alaw_samples(multimodal.synth_alaw_payload(doc_id))
+        assert s is not None and s.shape == (n, nch)
+        want = np.array([
+            [multimodal.alaw_decode(multimodal.alaw_encode(
+                multimodal.synth_sample(doc_id, i, ch)))
+             for ch in range(nch)] for i in range(n)
+        ])
+        assert np.array_equal(s, want), doc_id
+        orig = np.array([
+            [multimodal.synth_sample(doc_id, i, ch) for ch in range(nch)]
+            for i in range(n)
+        ])
+        lossy = lossy or not np.array_equal(s, orig)
+    assert lossy
+    # the two G.711 tags do not cross-decode
+    assert multimodal.decode_alaw_samples(
+        multimodal.synth_ulaw_payload(13)) is None
+    assert multimodal.decode_ulaw_samples(
+        multimodal.synth_alaw_payload(31)) is None
+    assert multimodal.decode_alaw_samples(
+        multimodal.synth_alaw_payload(31)[:-3]) is None
