@@ -1050,6 +1050,13 @@ def _jpeg_encode_ac_refine_block(bw, zz, ss, se, al, ac_code, st) -> None:
     already-nonzero history positions contribute one correction bit
     each, buffered and emitted after the next symbol; trailing
     zero-history runs fold into the scan-wide EOB run."""
+    # last newly-significant position: ZRLs past it fold into the EOB
+    # run instead of being emitted (T.81 figure G.7 / the classic
+    # encoder's k <= EOB guard)
+    eob_k = 0
+    for k in range(ss, se + 1):
+        if (abs(zz[k]) >> al) == 1:
+            eob_k = k
     r = 0
     br_bits: list[int] = []
     for k in range(ss, se + 1):
@@ -1057,18 +1064,24 @@ def _jpeg_encode_ac_refine_block(bw, zz, ss, se, al, ac_code, st) -> None:
         if t == 0:
             r += 1
             continue
-        if t > 1:  # history already nonzero: correction bit
-            br_bits.append(t & 1)
-            continue
-        # newly significant coefficient
-        _jpeg_refine_flush_eob(bw, ac_code, st)
-        while r > 15:
+        # ZRLs are emitted EAGERLY once 16 zero-history positions have
+        # accumulated (not lazily at the next significant coefficient):
+        # the decoder reads each history position's correction bit while
+        # advancing through the 16-skip window, so a bit buffered past
+        # the window must come after the NEXT symbol, not this one
+        while r > 15 and k <= eob_k:
+            _jpeg_refine_flush_eob(bw, ac_code, st)
             c, ln = ac_code[0xF0]
             bw.write(c, ln)
             r -= 16
             for bit in br_bits:
                 bw.write(bit, 1)
             br_bits = []
+        if t > 1:  # history already nonzero: correction bit
+            br_bits.append(t & 1)
+            continue
+        # newly significant coefficient
+        _jpeg_refine_flush_eob(bw, ac_code, st)
         c, ln = ac_code[(r << 4) | 1]
         bw.write(c, ln)
         bw.write(0 if zz[k] < 0 else 1, 1)

@@ -1092,3 +1092,40 @@ def test_alaw_roundtrip_exact_and_strict():
         multimodal.synth_alaw_payload(31)) is None
     assert multimodal.decode_alaw_samples(
         multimodal.synth_alaw_payload(31)[:-3]) is None
+
+
+def test_jpeg_ac_refinement_zrl_and_eob_correction_paths():
+    # the synthetic coefficient layout never produces >15 zero-history
+    # positions before a newly-significant coefficient, so drive the
+    # refinement encoder/decoder pair directly on a crafted block:
+    # history at k=10 (+2) and k=20 (-3), a newly-significant +1 at
+    # k=40 behind 37 zero-history positions (forcing ZRL x2 with
+    # interleaved correction-bit flushes), then an EOB-run block whose
+    # history at k=7 takes a correction bit buffered through BE
+    import numpy as np
+
+    M = multimodal
+    ac_code = M._huff_canonical(M._JPEG_AC_BITS_PROG, M._JPEG_AC_VALS_PROG)
+    act = {(c, l): s for s, (c, l) in ac_code.items()}
+    true1 = [0] * 64
+    true1[10], true1[20], true1[40] = 2, -3, 1
+    true2 = [0] * 64
+    true2[7] = -3
+    bw = M._MsbBitWriter()
+    st = {"eobrun": 0, "be": []}
+    M._jpeg_encode_ac_refine_block(bw, true1, 1, 63, 0, ac_code, st)
+    M._jpeg_encode_ac_refine_block(bw, true2, 1, 63, 0, ac_code, st)
+    M._jpeg_refine_flush_eob(bw, ac_code, st)
+    data = bw.finish()
+    # decoder starts from the Al=1 first-scan approximation
+    row1 = np.zeros(64, dtype=np.int64)
+    row1[10], row1[20] = 2, -2
+    row2 = np.zeros(64, dtype=np.int64)
+    row2[7] = -2
+    br = M._MsbBitReader(data, 0)
+    eob = M._jpeg_refine_ac_block(br, act, row1, 1, 63, 0, 0)
+    assert eob is not None
+    eob = M._jpeg_refine_ac_block(br, act, row2, 1, 63, 0, eob)
+    assert eob == 0
+    assert list(row1) == true1
+    assert list(row2) == true2
