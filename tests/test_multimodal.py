@@ -1129,3 +1129,65 @@ def test_jpeg_ac_refinement_zrl_and_eob_correction_paths():
     assert eob == 0
     assert list(row1) == true1
     assert list(row2) == true2
+
+
+def test_g711_codeword_idempotence():
+    # encode(decode(b)) == b for every codeword — the classic table
+    # self-consistency check.  One documented exception: mu-law 0x7F
+    # is "negative zero", which decodes to 0 and re-encodes as the
+    # positive-zero codeword 0xFF (the canonical +-0 ambiguity).
+    for b in range(256):
+        back = multimodal.ulaw_encode(multimodal.ulaw_decode(b))
+        if b == 0x7F:
+            assert multimodal.ulaw_decode(b) == 0 and back == 0xFF
+        else:
+            assert back == b, b
+        assert multimodal.alaw_encode(multimodal.alaw_decode(b)) == b, b
+
+
+def test_adpcm_extreme_signal_hits_clamps():
+    # a full-swing alternating signal drives the step index to 88
+    # (step 32767) and the predictor into both +-32768/32767 clamps;
+    # the decoder must still be bit-exact against the encoder's
+    # reconstruction
+    import struct as _s
+    import numpy as np
+
+    n = 64
+    samples = [32767 if i % 2 == 0 else -32768 for i in range(n)]
+    words = (n - 1 + 7) // 8
+    pred, sidx = samples[0], 0
+    head = _s.pack("<hBB", pred, sidx, 0)
+    nibs, want = [], [pred]
+    hit_hi = hit_lo = False
+    for x in samples[1:]:
+        step = multimodal._IMA_STEP_TABLE[sidx]
+        diff = x - pred
+        sign = 8 if diff < 0 else 0
+        delta, diffq = multimodal._ima_quantize(-diff if sign else diff, step)
+        raw = pred + (-diffq if sign else diffq)
+        hit_hi = hit_hi or raw > 32767
+        hit_lo = hit_lo or raw < -32768
+        pred = max(-32768, min(32767, raw))
+        sidx = max(0, min(88, sidx + multimodal._IMA_INDEX_TABLE[delta]))
+        nibs.append(sign | delta)
+        want.append(pred)
+    assert sidx == 88 and (hit_hi or hit_lo)  # extremes genuinely reached
+    nibs += [0] * (8 * words - len(nibs))
+    data = head + bytes(
+        nibs[2 * b] | (nibs[2 * b + 1] << 4) for b in range(4 * words)
+    )
+    spb = 1 + 8 * words
+    block_align = 4 + 4 * words
+    fmt = _s.pack("<HHIIHHHH", 0x11, 1, 8000, 8000 * block_align // spb,
+                  block_align, 4, 2, spb)
+    body = (
+        b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"fact" + _s.pack("<II", 4, n)
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + _s.pack("<I", len(body)) + body
+    s = multimodal.decode_adpcm_samples(payload)
+    assert s is not None and s.shape == (n, 1)
+    assert np.array_equal(s[:, 0], np.array(want, dtype=np.int16))
