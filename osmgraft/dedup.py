@@ -35,6 +35,7 @@ def tokens_col(text: str = "text") -> "F.Column":
 def shingles(
     df: DataFrame, n: int = 3, id_col: str = "doc_id",
     max_df: int | None = None,
+    max_df_strategy: str = "anti_join",
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle).
 
@@ -52,38 +53,87 @@ def shingles(
     rarely wider than that, boilerplate is far wider).  ``None``
     disables the cap (exact semantics, small corpora only).
     """
-    # Guard: docs with < n tokens have no shingles.  Without the guard,
-    # sequence(0, negative) yields a DESCENDING sequence and slice(start=0)
-    # throws INVALID_PARAMETER_VALUE.START at runtime on short docs (the
-    # DuckDB oracle's generate_series(1, len-2) silently yields none).
-    # array_distinct dedupes WITHIN each doc before the explode — set
-    # semantics per doc with ZERO shuffle, where a post-explode
-    # .distinct() was a full corpus-wide exchange (cross-doc repeats
-    # are distinct (id, shingle) pairs and stay either way).
-    sh = F.expr(
-        f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size(split(text, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))) "
-        f"ELSE CAST(array() AS array<string>) END"
-    )
-    out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    out = _shingle_base(df, n, id_col)
     if max_df is not None:
-        # Single-pass df filter: a COUNT window over shingle — the
-        # shingle set is computed ONCE (a hot-set anti-join would
-        # compute it twice, or force a corpus-sized cache of it), and
-        # the output comes back hash-partitioned on ``shingle``, the
-        # exact partitioning the downstream pair equi-join needs.
-        # Skew safety: WindowExec buffers one shingle's rows at a time
-        # and spills to disk, so a 10M-doc boilerplate shingle is slow
-        # disk I/O for that one key, never an OOM — and those are
-        # precisely the rows the filter then drops.
+        out = _apply_df_cap(out, max_df, max_df_strategy)
+    return out
+
+
+def _apply_df_cap(
+    out: DataFrame, max_df: int, max_df_strategy: str = "anti_join"
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``."""
+    if max_df_strategy == "anti_join":
+        # Map-side stop-shingle drop (default; guide §2.3/§3.2):
+        # df comes from a partial-agg ``groupBy(shingle).count()``
+        # — a 10^9-df boilerplate shingle moves ONE row per map
+        # partition through that shuffle, not 10^9 rows — then the
+        # (small by construction: at most total_occurrences/max_df
+        # entries) over-cap set broadcast-anti-joins the shingle
+        # stream, so boilerplate rows are dropped IN the scan
+        # stage and never transit any shuffle at all.  On an uncached
+        # input the shingle derivation runs twice (count side + join
+        # side) — cheap codegen; the pair generators cache the base so
+        # it runs once.  The r5 window shape instead shuffled every
+        # occurrence of every hot shingle into one window partition
+        # before discarding it.  Identical result set (same cap
+        # semantics, same oracle SQL).
+        hot = (
+            out.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        out = out.join(F.broadcast(hot), "shingle", "left_anti")
+    elif max_df_strategy == "window":
+        # Fallback when the over-cap vocabulary outgrows the
+        # broadcast threshold (a pathological corpus where the
+        # boilerplate dictionary itself is huge): single-pass COUNT
+        # window over shingle.  WindowExec buffers one shingle's
+        # rows at a time and spills to disk, so a 10M-doc
+        # boilerplate shingle is slow disk I/O for that one key,
+        # never an OOM — but every hot occurrence transits the
+        # shuffle before being dropped, which is why this is no
+        # longer the default.
         w = Window.partitionBy("shingle")
         out = (
             out.withColumn("_df", F.count("*").over(w))
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
+    else:
+        raise ValueError(f"unknown max_df_strategy {max_df_strategy!r}")
     return out
+
+
+def _shingle_base(df: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """Uncapped (id, shingle) explode.
+
+    Guard: docs with < n tokens have no shingles.  Without the guard,
+    sequence(0, negative) yields a DESCENDING sequence and slice(start=0)
+    throws INVALID_PARAMETER_VALUE.START at runtime on short docs (the
+    DuckDB oracle's generate_series(1, len-2) silently yields none).
+    array_distinct dedupes WITHIN each doc before the explode — set
+    semantics per doc with ZERO shuffle, where a post-explode
+    .distinct() was a full corpus-wide exchange (cross-doc repeats
+    are distinct (id, shingle) pairs and stay either way).
+
+    The tokenization is STAGED into its own projection so ``split(text)``
+    runs once per row: referenced as a bound column from the next
+    projection instead of being re-evaluated at each of its three
+    occurrences inside the shingle expression (measured r6 at sf1.0:
+    explode pass 1.44 -> 1.17 s).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col("text"), TOKEN_SPLIT).alias("_toks")
+    )
+    sh = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return toks.select("id", F.explode(sh).alias("shingle"))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -106,20 +156,25 @@ def ngram_jaccard_pairs(
     Jaccard of the *capped* shingle sets.  Always set this on a real
     crawl corpus; the unbounded default is exact-small-corpus semantics.
 
-    Cache lifecycle: the shingle set feeds three consumers (sizes + the
-    two pair-join sides), so it is cached and EAGERLY populated before
-    the consumers run, consumed by the eager result materialization
-    (localCheckpoint), and unpersisted BEFORE return — its useful life
-    ends here, and a leaked cache entry is executor memory a 100 TB job
-    never gets back (same lifecycle class as the round-4 knn fix).
-    Eager-not-lazy is deliberate and measured: three consumers racing
-    a cold cache re-run the expensive shingle window concurrently
+    Cache lifecycle: the PRE-cap shingle base feeds four consumers (the
+    df-cap's count side, then sizes + the two pair-join sides through
+    the cap's broadcast anti-join), so it is cached and EAGERLY
+    populated before the consumers run, consumed by the eager result
+    materialization (localCheckpoint), and unpersisted BEFORE return —
+    its useful life ends here, and a leaked cache entry is executor
+    memory a 100 TB job never gets back (same lifecycle class as the
+    round-4 knn fix).  Caching BELOW the cap (r6) means the explode
+    runs once instead of once per cap side; the per-consumer anti-join
+    replay is a broadcast hash probe over the cached rows, which is
+    cheap.  Eager-not-lazy is deliberate and measured: consumers racing
+    a cold cache re-run the expensive shingle derivation concurrently
     (lazy variant measured 2-5x slower at bench scale — same mechanism
     as the r2/r3 flagship cache-race variance); the eager count costs
     one extra job barrier, which is the cheaper side of that trade.
     """
-    sh = shingles(df, n, max_df=max_df).cache()
-    sh.count()  # eager populate: cold-cache consumers race (see above)
+    base = _shingle_base(df, n).persist()
+    base.count()  # eager populate: cold-cache consumers race (see above)
+    sh = base if max_df is None else _apply_df_cap(base, max_df)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.withColumnRenamed("id", "doc_a")
     b = sh.withColumnRenamed("id", "doc_b")
@@ -143,7 +198,7 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
     )
     out = out.localCheckpoint(eager=True)  # pair set: bounded by the cap
-    sh.unpersist()
+    base.unpersist()
     return out
 
 
@@ -207,14 +262,20 @@ def minhash_lsh_pairs(
     the candidate pairs to the one-row-per-doc signature table twice
     and counts matches with a codegen sum of k equality terms.
 
-    Cache lifecycle: the packed signature table feeds three consumers
+    Cache lifecycle (two nested, both closed before return): the
+    PRE-cap shingle base is cached so the df-cap's count side and the
+    signature build share one explode (r6; the uncached variant re-ran
+    the derivation per side), and is unpersisted as soon as ``packed``
+    is materialized.  The packed signature table feeds three consumers
     (band explode + both verify sides) — cached and EAGERLY populated
     (a lazy cache lets the consumers race and re-run the whole
-    window+signature subtree concurrently: measured 4-5x slower at
-    bench scale), consumed by the eager result materialization,
-    unpersisted before return.
+    signature subtree concurrently: measured 4-5x slower at bench
+    scale), consumed by the eager result materialization, unpersisted
+    before return.
     """
-    sh = shingles(df, n, max_df=max_df)
+    base = _shingle_base(df, n).persist()
+    base.count()  # eager populate: the cap's two sides race a cold cache
+    sh = base if max_df is None else _apply_df_cap(base, max_df)
     hashes = [
         F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
         for s in range(k)
@@ -226,6 +287,7 @@ def minhash_lsh_pairs(
         .cache()
     )
     packed.count()  # eager populate: cold-cache consumers race (see above)
+    base.unpersist()  # signature build consumed it; bands read `packed`
     n_bands = (k + band_size - 1) // band_size
     band_structs = [
         F.struct(

@@ -18,6 +18,14 @@ from pyspark.sql import functions as F
 
 from . import cells, synth
 from .join import knn, spatial_join
+from .session import spread_scan
+
+
+def _read_spread(spark, sf_dir: str, table: str) -> DataFrame:
+    """Read one test-corpus parquet with scale-adaptive scan spreading
+    (`session.spread_scan`): the local single-row-group files otherwise
+    pin every narrow operator above the first exchange to ONE task."""
+    return spread_scan(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
 
 
 def _utc(spark):
@@ -458,7 +466,9 @@ def orders_no_bigqty(spark, sf_dir):
     """,
 )
 def dedup_exact(spark, sf_dir):
-    """Exact dedup by content hash (hash-groupBy; map-side combine)."""
+    """Exact dedup by content hash (hash-groupBy; map-side combine).
+    NOT spread: one md5 per row is cheaper than exchanging the text
+    bytes (measured r6: 0.38 plain vs 0.65 spread at sf1.0)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.groupBy(F.md5(F.col("text")).alias("fingerprint")).agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc_id")
@@ -479,7 +489,7 @@ def dedup_exact(spark, sf_dir):
 )
 def doc_token_stats(spark, sf_dir):
     """Token counting + lexical-diversity quality signal (JVM-side)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
@@ -513,7 +523,7 @@ def doc_token_stats(spark, sf_dir):
 def ann_topk(spark, sf_dir):
     """Brute-force top-k inner-product search over quantized embeddings
     (int dot products -> bit-exact cross-engine ranking)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, sf_dir, "embeddings")
     qvec = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint")
     )
@@ -528,8 +538,14 @@ def ann_topk(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("pid").asc())
+    # Stream the CORPUS side and broadcast the (tiny, fixed) query side:
+    # the former q.crossJoin(broadcast(p)) shape computed all |q| x |p|
+    # dot products inside q's single scan task — the broadcast side of a
+    # nested-loop join adds no parallelism.  Streaming p spreads the dot
+    # products over every corpus partition; row set is identical (cross
+    # product is symmetric, all downstream ops are keyed).
     return (
-        q.crossJoin(F.broadcast(p))
+        p.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("pid"))
         .withColumn("dot", dot)
         .withColumn("rank", F.row_number().over(w))
@@ -1128,7 +1144,7 @@ def events_sessionize(spark, sf_dir):
 def incremental_merge(spark, sf_dir):
     """T5 latest-version-wins MERGE (create/modify/delete + base union)."""
     _utc(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _read_spread(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1199,7 +1215,7 @@ _SHINGLES_CAPPED_SQL = f"""
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (shingle equi-join prefilter,
     stop-shingle df cap active — see _MAX_DF)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.05, max_df=_MAX_DF)
 
 
@@ -1234,7 +1250,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (md5-minwise, banded buckets,
     stop-shingle df cap active — see _MAX_DF)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, k=8, band_size=2, n=3, max_df=_MAX_DF)
 
 
@@ -1268,7 +1284,7 @@ def dedup_simhash(spark, sf_dir):
     """SimHash fingerprints (md5-bit majority vote, 64 bits as two
     non-negative 32-bit BIGINT halves — 16-bit fingerprints would give
     only 65k buckets at billion-doc scale)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     return dedup.simhash(d, bits=64)
 
 
@@ -1293,7 +1309,7 @@ _STOP_LIST = ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS)
 )
 def lang_id_q(spark, sf_dir):
     """Stopword-ratio language-ID heuristic."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     return textstats.lang_id(d)
 
 
@@ -1320,7 +1336,7 @@ def lang_id_q(spark, sf_dir):
 )
 def quality_score_q(spark, sf_dir):
     """Composite document-quality filter (length/diversity/stopwords)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     return textstats.quality_score(d)
 
 
@@ -1337,7 +1353,7 @@ def quality_score_q(spark, sf_dir):
 def bpe_token_count_q(spark, sf_dir):
     """BPE-ish pre-tokenizer counts (subword budget) next to the
     whitespace count; ASCII classes keep Java regex and RE2 identical."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     return textstats.bpe_token_count(d)
 
 
@@ -1371,7 +1387,7 @@ def corpus_clean(spark, sf_dir):
     quality filter + exact-dedup keep-canonical, in one declarative
     plan (filters fuse into the scan; the only shuffle is the dedup
     window on the content hash)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     uniq = F.size(F.array_distinct(toks)).cast("double") / n_tok
@@ -1410,7 +1426,7 @@ def corpus_clean(spark, sf_dir):
 )
 def doc_fingerprint(spark, sf_dir):
     """Normalized-content fingerprint (rolling-hash analog, md5)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     return textstats.fingerprint(d)
 
 
@@ -1434,7 +1450,7 @@ def _plane_sql() -> str:
 )
 def ann_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucketing (the ANN scale path)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, sf_dir, "embeddings")
     return similarity.lsh_buckets(e)
 
 
@@ -1521,7 +1537,7 @@ def dedup_passages(spark, sf_dir):
     the exact-substring/boilerplate pass of a training-data pipeline as
     one explode + one digest groupBy — no suffix array, no cross-doc
     comparison; scale-safe at crawl size."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     return dedup.passage_dedup(d, chunk=8)
 
 
@@ -1568,7 +1584,7 @@ def url_normalize(spark, sf_dir):
     key derivation, all inside codegen.  The raw URLs are synthesized
     with deliberate case/port/query/fragment noise so every rule
     fires."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_spread(spark, sf_dir, "documents")
     raw = docs.select(
         "doc_id",
         F.concat(
@@ -1597,7 +1613,7 @@ def media_stats(spark, sf_dir):
     (codec decode stubbed — no media libs in this container)."""
     from . import multimodal
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_spread(spark, sf_dir, "documents")
     media = multimodal.media_from_documents(docs)
     feats = multimodal.extract_features(media, fake=True)
     return feats.select("media_id", "kind", "n_bytes")
@@ -1680,7 +1696,7 @@ def media_dimensions(spark, sf_dir):
     the generate -> Arrow -> parse path fails the gate."""
     from . import multimodal
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_spread(spark, sf_dir, "documents")
     media = multimodal.media_images_from_documents(docs)
     return multimodal.image_dimensions(media)
 
@@ -1762,7 +1778,7 @@ def media_pixels(spark, sf_dir):
     channel."""
     from . import multimodal
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_spread(spark, sf_dir, "documents")
     media = multimodal.media_images_from_documents(docs)
     return multimodal.image_pixel_stats(media)
 
@@ -1954,7 +1970,7 @@ def media_audio(spark, sf_dir):
     codecs (mp3/aac/h264) only."""
     from . import multimodal
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_spread(spark, sf_dir, "documents")
     media = multimodal.media_audio_from_documents(docs)
     return multimodal.wav_sample_stats(media)
 
@@ -2327,7 +2343,7 @@ _QVEC_SQL = (
 def ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed approximate top-k (nprobe=1) — the ANN scale path
     as a bucketed equi-join instead of a cross join."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(e, k=5, n_centroids=8)
 
 
@@ -2365,7 +2381,7 @@ def ann_ivf_topk(spark, sf_dir):
 def ann_ivf_topk_nprobe(spark, sf_dir):
     """Multi-probe IVF top-k (nprobe=2): the recall/cost dial — probe
     fan-out doubles, the index and the equi-join shape stay fixed."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, sf_dir, "embeddings")
     return similarity.ivf_topk_multiprobe(e, k=5, n_centroids=8, nprobe=2)
 
 
@@ -2413,7 +2429,7 @@ def ann_ivf_trained(spark, sf_dir):
     (floor-mean update, empty centroids keep their seed), then the
     final nearest-centroid assignment.  Train shuffle is
     centroids x dims rows — corpus-size-independent."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, sf_dir, "embeddings")
     return similarity.ivf_train_assign(e, n_centroids=8, iters=1)
 
 
@@ -2532,7 +2548,7 @@ def ann_ivf_kmeanspp(spark, sf_dir):
     distance), attraction-weighted final selection of 8 centroids,
     exact integer distances end-to-end; the oracle unrolls the same
     rounds in SQL."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, sf_dir, "embeddings")
     return similarity.kmeans_parallel_assign(e, n_centroids=8, l=16, rounds=2)
 
 
@@ -2585,7 +2601,7 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     exact integer key (sign(dot) * dot^2*10^6 div nb), bit-exact double
     cosine output; the production replacement for the broadcast
     cross-join cosine_topk baseline."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_ivf(e, k=5, n_centroids=8)
 
 
@@ -2641,7 +2657,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     was bench-sized — it now FAILS the max_cand_per_vec guard on this
     very corpus); the volume guard is active, so this gate row also
     certifies the guard passes at the production default."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(
         e, threshold=0.5, n_bands=4, planes_per_band=8
     )
@@ -2667,7 +2683,7 @@ def dedup_embedding_cosine_exact(spark, sf_dir):
     """All-pairs exact near-dup baseline (threshold 0.5) — documented
     small-scale recall yardstick for the LSH scale path; O(n^2) by
     construction, never the production path."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs_exact(e, threshold=0.5)
 
 
@@ -2688,7 +2704,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     pigeonhole equi-join — the Spark plan has NO all-pairs theta join;
     the all-pairs form appears only in the (small-scale) DuckDB oracle,
     to which the banded result set is provably identical."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     return dedup.simhash_hamming_pairs(dedup.simhash(d, bits=64), max_hamming=2)
 
 
@@ -2722,7 +2738,7 @@ def dedup_clusters(spark, sf_dir):
     canonical-doc assignment (cluster_id = min doc_id of the component)
     via distributed min-label propagation; the oracle recomputes the
     components with a recursive transitive-closure CTE."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, sf_dir, "documents")
     pairs = dedup.simhash_hamming_pairs(dedup.simhash(d, bits=64), max_hamming=2)
     return dedup.connected_components_star(pairs)
 
@@ -2801,7 +2817,7 @@ def media_frames(spark, sf_dir):
     the MJPEG tier."""
     from . import multimodal
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_spread(spark, sf_dir, "documents")
     media = multimodal.media_video_from_documents(docs)
     return multimodal.frame_sample_stats(media, every_k=2)
 
@@ -2868,7 +2884,7 @@ def media_resize(spark, sf_dir):
     source-coordinate kernel on the closed-form rasters."""
     from . import multimodal
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_spread(spark, sf_dir, "documents")
     media = multimodal.media_images_from_documents(docs)
     return multimodal.thumbnail_stats(media, out_w=8, out_h=8)
 

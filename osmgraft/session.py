@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(
@@ -56,6 +56,53 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Minimum per-partition payload for spread_scan to pay its exchange:
+# the repartition has a fixed ~0.15-0.25 s stage cost (local[32]), so
+# spreading only pays off when each target partition receives enough
+# bytes for the parallel compute saving to exceed it.  128 KiB of
+# compressed scan input per partition puts the breakeven at ~4 MB input
+# on this host (measured r6: the 0.6 MB sf0.1 corpus regressed
+# corpus_clean 0.34->0.58 with an unconditional spread; the 5.9 MB
+# sf1.0 corpus gains 2-11 s on the shingle/token queries).
+SPREAD_MIN_BYTES_PER_PART = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES_PER_PART", str(128 * 1024))
+)
+
+
+def spread_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Scale-adaptive scan spreading (guide §2.5 "input skew" / §6).
+
+    A single-row-group parquet file is an unsplittable scan: EVERY
+    narrow operator above the first exchange (tokenize, shingle, md5,
+    cell-encode, Arrow refine ...) then runs in ONE task regardless of
+    core count — the local test corpus (`documents.parquet`,
+    `embeddings.parquet`, `events.parquet`) is exactly that shape.
+    When the planned scan partition count is below the cluster's
+    parallelism, pay one small round-robin exchange of the raw rows so
+    the per-row compute uses every core.  The repartition only re-keys
+    physical placement — row sets (and therefore every declared query's
+    result) are unchanged.
+
+    At production scale the guard makes this a no-op: a 100 TB input
+    plans orders of magnitude more scan partitions than cores, so the
+    exchange never happens — the guard, not the repartition, is the
+    scale story.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable: fall through to the partition guard
+        size = None
+    if size is not None and size < target * SPREAD_MIN_BYTES_PER_PART:
+        return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def warm_python_workers(spark: SparkSession, cores: int | None = None) -> None:

@@ -182,7 +182,15 @@ def register_documents(spark: SparkSession, sf_dir: str) -> None:
 
 
 def geo_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived entity points as a DataFrame (arithmetic path, no text)."""
+    """Derived entity points as a DataFrame (arithmetic path, no text).
+
+    Deliberately NOT spread (`session.spread_scan`): measured r6, the
+    point set is narrow and its per-row work (int arithmetic, broadcast
+    join probes) is cheap, so the extra exchange's fixed cost (~0.25 s
+    at bench scale) exceeds the parallelism gain for every consumer
+    (tile_assign 0.21->0.26, tile_rollup 0.58->0.88, pip/knn also
+    slightly worse).
+    """
     register_documents(spark, sf_dir)
     return spark.sql(points_sql("documents"))
 
