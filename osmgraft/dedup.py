@@ -84,7 +84,11 @@ def _apply_df_cap(
             .filter(F.col("_df") > max_df)
             .select("shingle")
         )
-        out = out.join(F.broadcast(hot), "shingle", "left_anti")
+        # restore (id, shingle) order: the USING-column join puts the
+        # join key first
+        out = out.join(F.broadcast(hot), "shingle", "left_anti").select(
+            "id", "shingle"
+        )
     elif max_df_strategy == "window":
         # Fallback when the over-cap vocabulary outgrows the
         # broadcast threshold (a pathological corpus where the

@@ -360,13 +360,16 @@ def knn(
         cells.axis_tile_col(F.col("lon_e7"), level).alias("cx"),
         cells.axis_tile_col(F.col("lat_e7"), level).alias("cy"),
     )
+    # NOT cached: consumed exactly once, by the initial `pending`
+    # localCheckpoint (r6 — the r5 cache added a storage entry and an
+    # unpersist for zero reuse).
     qt = queries.select(
         F.col("qid"),
         F.col("lon_e7").alias("qx"),
         F.col("lat_e7").alias("qy"),
         cells.axis_tile_col(F.col("lon_e7"), level).alias("qcx"),
         cells.axis_tile_col(F.col("lat_e7"), level).alias("qcy"),
-    ).cache()
+    )
 
     out_schema = (
         "qid LONG, qcx LONG, qcy LONG, qx LONG, qy LONG, pid LONG, "
@@ -458,11 +461,16 @@ def knn(
         )
         results = results.unionByName(ranked.filter("done").drop("done"))
         done_ids = ranked.filter("done").select("qid").distinct()
-        pending = pending.join(
-            F.broadcast(done_ids), "qid", "left_anti"
-        ).localCheckpoint(eager=True)
+        # pending is NOT re-checkpointed per round (r6): each round adds
+        # one broadcast anti-join against ids derived from the round's
+        # CHECKPOINTED `ranked`, so the plan stays shallow across the
+        # <= max_rounds iterations and re-evaluation is a cheap hash
+        # probe.  The per-round eager checkpoint + count were two extra
+        # driver-synchronized jobs per round; the pending count is now
+        # derived from the same `ranked` scan that builds done_ids.
+        pending = pending.join(F.broadcast(done_ids), "qid", "left_anti")
         carry = ranked.filter(~F.col("done")).drop("rank", "done")
-        n_pending = pending.count()
+        n_pending -= done_ids.count()
         r_prev, r = r, r * 2
 
     if n_pending > 0:
@@ -479,13 +487,11 @@ def knn(
         results = results.unionByName(rest)
 
     # cache lifecycle ends HERE, not at session end: the ring loop (the
-    # caches' only repeated consumers) has executed, and every returned
+    # cache's only repeated consumer) has executed, and every returned
     # row derives from localCheckpoint blocks (or, for the rare brute
-    # fallback, recomputes the narrow pt scan once).  Leaving qt/pt
-    # cached leaked two storage entries per call into the session —
-    # on a long-lived executor that is memory a 100 TB job never gets
-    # back, and in the bench it left GC debris for whatever query ran
-    # next.
-    qt.unpersist()
+    # fallback, recomputes the narrow pt scan once).  Leaving pt cached
+    # leaked a storage entry per call into the session — on a
+    # long-lived executor that is memory a 100 TB job never gets back,
+    # and in the bench it left GC debris for whatever query ran next.
     pt.unpersist()
     return results.select("qid", "pid", "rank", "dist2")

@@ -202,3 +202,41 @@ def test_star_components_equal_label_propagation(spark):
         for r in dedup.connected_components_star(df).collect()
     }
     assert a == b and a
+
+
+def test_df_cap_strategies_equivalent(spark):
+    # the broadcast-anti-join default and the window fallback implement
+    # the SAME cap semantics: identical (id, shingle) row sets
+    rows = [(i, f"x y z uniq{i} u{i} v{i}") for i in range(50)]
+    rows += [(100 + i, f"a b c tail{i} t{i} w{i}") for i in range(3)]
+    d = _docs(spark, rows)
+    aj = dedup.shingles(d, n=3, max_df=4, max_df_strategy="anti_join")
+    wd = dedup.shingles(d, n=3, max_df=4, max_df_strategy="window")
+    assert sorted(map(tuple, aj.collect())) == sorted(map(tuple, wd.collect()))
+    with pytest.raises(ValueError):
+        dedup.shingles(d, n=3, max_df=4, max_df_strategy="nope")
+
+
+def test_df_cap_anti_join_drops_map_side(spark):
+    # r5 verdict item 2 ("hot-shingle rows are shuffled before being
+    # dropped"): with the anti-join strategy the ONLY shuffle keyed on
+    # shingle is the partial-agg df count (one row per distinct shingle
+    # per map partition) — the shingle STREAM itself reaches the
+    # broadcast anti-join without any exchange, so over-cap occurrences
+    # are dropped map-side and never transit a shuffle.
+    d = _docs(spark, [(i, f"x y z uniq{i} u{i} v{i}") for i in range(50)])
+    plan = (
+        dedup.shingles(d, n=3, max_df=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
+    # exactly one hash-partitioned exchange: the df-count groupBy
+    # (HashAggregate partial -> Exchange -> HashAggregate final)
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the window fallback instead shuffles the full stream into a
+    # window sort (no partial aggregation)
+    wplan = (
+        dedup.shingles(d, n=3, max_df=4, max_df_strategy="window")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in wplan
