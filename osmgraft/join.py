@@ -343,6 +343,8 @@ def knn(
     level: int = 6,
     max_rounds: int = 8,
     r0: int | None = None,
+    brute_max_pairs: int = 64_000_000,
+    brute_max_queries: int = 8192,
 ) -> DataFrame:
     """For each query row (qid, lon_e7, lat_e7) the k nearest point rows
     (pid, lon_e7, lat_e7) by exact squared euclidean distance in e7 units
@@ -350,8 +352,74 @@ def knn(
     by pid.  Iteratively widens the candidate ring; a query is finished
     once its k-th distance is certified by the ring guarantee
     (any point beyond ring r is at distance > r * cell_extent).
+
+    Cost-based small-input branch (r6, guide §1.2 "the distributed
+    algorithm"): when the query set is tiny and the estimated
+    |Q| x |P| fits ``brute_max_pairs``, the ring loop's per-round
+    driver-synchronized jobs (checkpoint + anti-join + count, x N
+    rounds) cost more than simply scoring every pair once — so
+    collect the queries (ONE early-terminating limited pass; the
+    limit bounds driver residency), broadcast them, and stream the
+    points through ONE exact-distance pass with a window top-k (the
+    same computation as the ring path's certified result and the
+    uncertified-remainder fallback below; results are identical by
+    construction — exact kNN is exact either way, same tie-break).
+    |P| is estimated from optimizer plan statistics (no extra pass;
+    a wrong estimate only changes which plan runs, never the rows);
+    at corpus scale the estimate overflows the bound and the ring
+    path (which never materializes all pairs) takes over.
     """
     cell_w = cells.WORLD // (1 << level)  # lon cell extent in e7 units
+
+    q_rows = (
+        queries.select("qid", "lon_e7", "lat_e7")
+        .limit(brute_max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) <= brute_max_queries:
+        try:
+            est_bytes = int(
+                points._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est_bytes = None
+        # conservative ~24 B/row floor (3 packed longs): underestimating
+        # the row width inflates the |P| estimate, biasing toward the
+        # ring path, never toward an oversized brute join
+        if est_bytes is not None and (
+            max(len(q_rows), 1) * (est_bytes // 24 + 1) <= brute_max_pairs
+        ):
+            qs = spark.createDataFrame(
+                [(r.qid, r.lon_e7, r.lat_e7) for r in q_rows],
+                schema="qid LONG, qx LONG, qy LONG",
+            )
+            ps = points.select(
+                F.col("pid"), F.col("lon_e7").alias("px"),
+                F.col("lat_e7").alias("py"),
+            )
+            # spread the streamed side: the local single-row-group scan
+            # plans 1-2 partitions, and the per-point work here is heavy
+            # (|Q| DECIMAL(38,0) distance evaluations per row), so one
+            # narrow exchange buys |cores|-way parallelism; no-op when
+            # the scan already plans enough partitions (production)
+            par = spark.sparkContext.defaultParallelism
+            if ps.rdd.getNumPartitions() < par:
+                ps = ps.repartition(par)
+            dx = (F.col("px") - F.col("qx")).cast("decimal(19,0)")
+            dy = (F.col("py") - F.col("qy")).cast("decimal(19,0)")
+            w_rank = Window.partitionBy("qid").orderBy(
+                F.col("dist2").asc(), F.col("pid").asc()
+            )
+            return (
+                ps.crossJoin(F.broadcast(qs))
+                .select(
+                    "qid", "pid",
+                    (dx * dx + dy * dy).cast("decimal(38,0)").alias("dist2"),
+                )
+                .withColumn("rank", F.row_number().over(w_rank))
+                .filter(F.col("rank") <= k)
+                .select("qid", "pid", "rank", "dist2")
+            )
 
     pt = points.select(
         F.col("pid"),

@@ -346,17 +346,34 @@ def geo_knn(spark, sf_dir):
     """,
 )
 def pricing_summary(spark, sf_dir):
-    """TPC-H Q1-shaped aggregation; DECIMAL-exact money sums."""
+    """TPC-H Q1-shaped aggregation; exact money sums.
+
+    Money math runs in scaled int64 (cents / basis-point units) with
+    DECIMAL only at the aggregate boundary (r6, guide §2.3 narrower
+    types / §1.2 per-task work): the former per-row
+    ``CAST(double AS DECIMAL(15,2))`` goes through a string render per
+    value and the per-row DECIMAL multiply allocates — measured 1.38 vs
+    0.55 s for the agg pass at sf1.0.  Exactness is preserved: the
+    inputs are 2-decimal money values, so ``round(x * 100)`` recovers
+    the same integer the decimal cast parses; per-row products are
+    exact in int64 (price_cents * disc_hundredths <= ~1e9); sums
+    accumulate in DECIMAL(38,0) (no int64 overflow at any corpus
+    size); and the final ``/ 100`` happens in decimal before ONE
+    correctly-rounded cast to double — the same exact rational the
+    decimal pipeline produced, hence bit-identical doubles (equality
+    verified row-for-row vs the decimal shape at sf1.0 and by the
+    DuckDB parity suite)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    price = F.col("l_extendedprice").cast("decimal(15,2)")
-    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+    qty = F.col("l_quantity").cast("bigint")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_h = F.round((F.lit(1) - F.col("l_discount")) * 100).cast("bigint")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
-        F.sum(price).cast("double").alias("sum_base"),
-        F.sum(price * disc).cast("double").alias("sum_disc"),
-        (
-            F.sum(F.col("l_quantity").cast("bigint")).cast("double") / F.count("*")
-        ).alias("avg_qty"),
+        F.sum(qty).cast("bigint").alias("sum_qty"),
+        (F.sum(cents.cast("decimal(38,0)")) / 100)
+        .cast("double").alias("sum_base"),
+        (F.sum((cents * disc_h).cast("decimal(38,0)")) / 10000)
+        .cast("double").alias("sum_disc"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
         F.count("*").alias("n"),
     )
 
@@ -385,10 +402,17 @@ def segment_revenue(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    price = F.col("l_extendedprice").cast("decimal(15,2)")
-    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+    # money math in scaled int64, DECIMAL only at the final aggregate —
+    # same rewrite (and the same exactness argument, verified vs the
+    # decimal shape + DuckDB parity) as pricing_summary.  The per-ORDER
+    # basis-point sum stays int64: one order's lineitem count is
+    # bounded (TPC-H <= 7), so its revenue sum is far below the ~9e9-
+    # row-per-order level where int64 could overflow; the unbounded
+    # per-SEGMENT sum accumulates in DECIMAL(38,0).
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_h = F.round((F.lit(1) - F.col("l_discount")) * 100).cast("bigint")
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(price * disc).alias("order_rev")
+        F.sum(cents * disc_h).alias("rev_u")
     )
     # no broadcast hints: AQE broadcasts o/c at bench scale; at 100 TB
     # the orderkey join reuses per_order's hash partitioning (one fact
@@ -402,7 +426,8 @@ def segment_revenue(spark, sf_dir):
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-            F.sum("order_rev").cast("double").alias("revenue"),
+            (F.sum(F.col("rev_u").cast("decimal(38,0)")) / 10000)
+            .cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -522,32 +547,77 @@ def doc_token_stats(spark, sf_dir):
 )
 def ann_topk(spark, sf_dir):
     """Brute-force top-k inner-product search over quantized embeddings
-    (int dot products -> bit-exact cross-engine ranking)."""
+    (int dot products -> bit-exact cross-engine ranking).
+
+    Plan shape (r6, guide §4.2): the former all-JVM shape spent its
+    time in interpreted higher-order lambdas — ``transform`` to
+    quantize and a ``zip_with``+``aggregate`` 64-step fold per
+    candidate pair run OUTSIDE whole-stage codegen (and an unrolled
+    codegen expression regresses worse: projection collapse inlines
+    the 64-element array build into every term).  Instead the corpus
+    streams through ONE vectorized Arrow pass that quantizes and
+    matrix-multiplies against the (tiny, driver-collected, broadcast)
+    query matrix in int64 numpy; only (pid, qid, dot) rows come back.
+    Measured 2.02 -> 0.73 s at sf1.0.
+
+    Exactness: quantization is round-half-away-from-zero of
+    ``embedding[d] * 1000`` — implemented exactly in numpy via
+    ``floor(v) + (v - floor(v) >= 0.5)`` on the absolute value (the
+    fractional subtraction is exact in float64 below 2^53), which is
+    provably identical to JVM/DuckDB ``round(double)``: both round the
+    decimal value of the double, the shortest-round-trip decimal
+    rendering preserves ordering against the exactly-representable
+    x.5 boundary, and at the boundary itself every engine rounds away
+    from zero.  Dot products are int64-exact.  A pytest pins
+    element-wise quantization equality vs the JVM expression over the
+    shipped corpora."""
     e = _read_spread(spark, sf_dir, "embeddings")
-    qvec = F.transform(
-        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+    import numpy as np
+
+    from .similarity import quantize_e3_np
+
+    # query side: filter pushes to the parquet scan; bounded driver
+    # residency (the vec_id < 10 literal bounds the collect at 10 rows)
+    qrows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    ev = e.select("vec_id", qvec.alias("qv"))
-    q = ev.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("qv").alias("qemb")
-    )
-    p = ev.select(F.col("vec_id").alias("pid"), F.col("qv").alias("pemb"))
-    dot = F.aggregate(
-        F.zip_with("qemb", "pemb", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = quantize_e3_np(np.array([r.embedding for r in qrows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((qids, qm.T.copy()))
+
+    def dots(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from osmgraft.similarity import quantize_e3_np as _q
+
+        qids_, qmT = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            pids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = b.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            pm = _q(flat.reshape(len(pids), -1).astype(np.float64))
+            d = pm @ qmT  # (n, nq) int64-exact inner products
+            n, nq = d.shape
+            yield pa.record_batch({
+                "pid": pa.array(np.repeat(pids, nq).astype(np.int64)),
+                "qid": pa.array(np.tile(qids_, n)),
+                "dot": pa.array(d.ravel()),
+            })
+
+    out = e.select("vec_id", "embedding").mapInArrow(
+        dots, "pid long, qid long, dot long"
     )
     w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("pid").asc())
-    # Stream the CORPUS side and broadcast the (tiny, fixed) query side:
-    # the former q.crossJoin(broadcast(p)) shape computed all |q| x |p|
-    # dot products inside q's single scan task — the broadcast side of a
-    # nested-loop join adds no parallelism.  Streaming p spreads the dot
-    # products over every corpus partition; row set is identical (cross
-    # product is symmetric, all downstream ops are keyed).
     return (
-        p.crossJoin(F.broadcast(q))
-        .filter(F.col("qid") != F.col("pid"))
-        .withColumn("dot", dot)
+        out.filter(F.col("qid") != F.col("pid"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("qid", "pid", F.col("rank").cast("int").alias("rank"))

@@ -25,6 +25,26 @@ def quantized(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn("qvec", q)
 
 
+def quantize_e3_np(m):
+    """numpy equivalent of :func:`quantized` (r6): exact
+    round-half-away-from-zero of ``m * 1000`` into int64.
+
+    ``floor(a) + (a - floor(a) >= 0.5)`` on the absolute value is
+    exact in float64 (the fractional subtraction below 2^53 is
+    error-free), and round-half-away on the *binary* double value is
+    provably identical to the JVM/DuckDB ``round(double)`` decimal
+    path: the shortest-round-trip decimal rendering both engines
+    round preserves ordering against the exactly-representable x.5
+    boundary, and at the boundary every engine rounds away from
+    zero.  A pytest pins element-wise equality vs the JVM expression
+    over the shipped corpora and adversarial boundary values."""
+    import numpy as np
+
+    a = np.abs(m) * 1000.0
+    fl = np.floor(a)
+    return (np.sign(m) * (fl + (a - fl >= 0.5))).astype(np.int64)
+
+
 def _plane_coeff(i: int, d: int) -> int:
     return ((i * 1009 + d * 9176) % 97) - 48
 

@@ -136,7 +136,11 @@ def test_knn_certification_fused_job_count(spark, sf_dir):
         qs = pts.filter(F.col("pid") < 300).select(
             F.col("pid").alias("qid"), "lon_e7", "lat_e7"
         )
-        out = knn(spark, qs, pts, k=5)
+        # brute_max_pairs=0 forces the ring loop: this probe guards the
+        # RING path's certification fusion (the r6 default for inputs
+        # this small is the single-pass brute branch, which runs far
+        # fewer jobs and has no certification stage to regress)
+        out = knn(spark, qs, pts, k=5, brute_max_pairs=0)
         assert out.count() == 150
         jobs = sc.statusTracker().getJobIdsForGroup("knn-fused-probe")
         # PINNED TO SPARK 4.1.2 job accounting: the <=28 budget depends

@@ -303,3 +303,31 @@ def test_kmeans_greedy_recluster_spreads_on_dense_dominant_cluster(spark):
     # weight-ranking collapse signature)
     assert len(dist) == 5, dict(dist)
     assert max(dist.values()) <= 300, dict(dist)
+
+
+def test_quantize_e3_np_matches_jvm_round(spark, emb):
+    # r6 ann_topk moved quantization into numpy (guide §4.2); this pins
+    # element-wise equality of quantize_e3_np vs the JVM
+    # round(cast(x as double) * 1000) expression over the shipped
+    # corpus AND adversarial boundary values (exact x.5 products,
+    # negatives, zero, subnormal-ish smalls).
+    from osmgraft.similarity import quantize_e3_np, quantized
+
+    jvm = quantized(emb).select("vec_id", "qvec").collect()
+    raw = {r.vec_id: r.embedding for r in emb.collect()}
+    for r in jvm:
+        got = quantize_e3_np(np.array(raw[r.vec_id], dtype=np.float64))
+        assert got.tolist() == list(r.qvec), r.vec_id
+
+    edge = [0.0005, -0.0005, 0.0015, -0.0015, 0.0025, 1.0615, -3.9995,
+            0.12345, -0.00049999999, 0.0, 123.4565, -123.4565, 2.5e-4,
+            0.4999999999999999, 511.9995, -511.9995]
+    df = spark.createDataFrame(
+        [(i, [float(v)]) for i, v in enumerate(edge)],
+        schema="vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    jvm_edge = {r.vec_id: list(r.qvec)
+                for r in quantized(df).select("vec_id", "qvec").collect()}
+    for i, v in enumerate(edge):
+        got = quantize_e3_np(np.array([v], dtype=np.float64)).tolist()
+        assert got == jvm_edge[i], (v, got, jvm_edge[i])

@@ -77,6 +77,13 @@ def test_knn_matches_bruteforce(spark, entities):
     for r in got:
         by_q.setdefault(r.qid, []).append((r.rank, r.pid, int(r.dist2)))
 
+    # the r6 cost-based brute branch and the ring path must agree
+    # exactly (brute_max_pairs=0 forces the ring loop)
+    ring = knn(spark, qs, pts, k=k, brute_max_pairs=0).collect()
+    ring_set = {(r.qid, r.rank, r.pid, int(r.dist2)) for r in ring}
+    got_set = {(r.qid, r.rank, r.pid, int(r.dist2)) for r in got}
+    assert ring_set == got_set
+
     # brute-force oracle
     prows = pts.collect()
     qrows = qs.collect()
@@ -101,12 +108,14 @@ def test_knn_precomputed_r0_identical(spark, entities):
     )
     base = {
         (r.qid, r.rank, r.pid, int(r.dist2))
-        for r in knn(spark, qs, pts, k=3).collect()
+        for r in knn(spark, qs, pts, k=3, brute_max_pairs=0).collect()
     }
     for forced in (1, 7, 64):
         got = {
             (r.qid, r.rank, r.pid, int(r.dist2))
-            for r in knn(spark, qs, pts, k=3, r0=forced).collect()
+            for r in knn(
+                spark, qs, pts, k=3, r0=forced, brute_max_pairs=0
+            ).collect()
         }
         assert got == base, f"r0={forced}"
     assert base
