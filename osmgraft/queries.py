@@ -1459,24 +1459,23 @@ def corpus_clean(spark, sf_dir):
     window on the content hash)."""
     d = _read_spread(spark, sf_dir, "documents")
     # Tokenization STAGED into its own projections (r6, guide §1.2 /
-    # §4): split(text) and the stopword filter() each run once per row
-    # as bound columns instead of being re-evaluated at every
-    # occurrence inside the quality expression (six split() calls in
-    # the single-projection shape; measured 0.87 -> 0.75 s at sf1.0).
-    # Same expression graph, same results; the window exchange still
-    # carries only the derived narrow columns, never text.
-    stop_arr = F.array(*[F.lit(s) for s in textstats.EN_STOPWORDS])
+    # §4): split(text) runs once per row as a bound column instead of
+    # being re-evaluated at every occurrence inside the quality
+    # expression (six split() calls in the single-projection shape;
+    # measured 0.87 -> 0.75 s at sf1.0), and the stopword count is the
+    # single-pass ``textstats.stop_count_col`` regexp instead of the
+    # interpreted per-token filter lambda (equality verified row-wise
+    # at sf1.0 + parity suite).  Same results; the window exchange
+    # still carries only the derived narrow columns, never text.
     s1 = d.select(
         "doc_id", F.md5("text").alias("_fp"),
         F.split(F.col("text"), " ").alias("_toks"),
+        textstats.stop_count_col().alias("_n_stop"),
     )
     s2 = s1.select(
-        "doc_id", "_fp",
+        "doc_id", "_fp", "_n_stop",
         F.size("_toks").alias("_n_tok"),
         F.size(F.array_distinct("_toks")).alias("_n_uniq"),
-        F.size(
-            F.filter("_toks", lambda t: F.array_contains(stop_arr, t))
-        ).alias("_n_stop"),
     )
     quality = (
         F.when((F.col("_n_tok") >= 10) & (F.col("_n_tok") <= 1000), 1).otherwise(0)

@@ -25,6 +25,32 @@ def quantized(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn("qvec", q)
 
 
+def int_matmul_exact_np(A, Bt, as_int=True):
+    """Exact int64 matrix product A @ Bt.T for quantized vectors.
+
+    numpy int64 matmul is a naive non-BLAS loop (measured ~20x slower
+    than dgemm at bucket scale); when every partial sum provably fits
+    float64's exact-integer range (max|A| * max|B| * dim < 2^53) the
+    product runs through BLAS in float64 — float64 addition of
+    integers below 2^53 is error-free, so the result is EXACT, not
+    approximate.  ``as_int=False`` skips the (measured ~12 ms / 4M
+    elements) float->int64 conversion and returns the float64 matrix
+    of exact integer values — callers convert only what they select.
+    Falls back to the int64 loop for inputs outside the 2^53 range
+    (unreachable for e3-quantized embeddings, but the guard keeps the
+    function total; that path always returns int64).
+    """
+    import numpy as np
+
+    amax = int(np.abs(A).max(initial=0))
+    bmax = int(np.abs(Bt).max(initial=0))
+    dim = A.shape[1] if A.ndim == 2 else len(A)
+    if amax * bmax * max(dim, 1) < (1 << 53):
+        Df = A.astype(np.float64) @ Bt.astype(np.float64).T
+        return Df.astype(np.int64) if as_int else Df
+    return A @ Bt.T
+
+
 def quantize_e3_np(m):
     """numpy equivalent of :func:`quantized` (r6): exact
     round-half-away-from-zero of ``m * 1000`` into int64.
@@ -204,34 +230,248 @@ def ivf_assign(df: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
-def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 8) -> DataFrame:
-    """IVF-bucketed approximate top-k: each query searches only its own
-    centroid's bucket (nprobe=1).  The scale path: candidate generation
-    is an equi-join on centroid_id instead of a full cross join.
-    Output: (qid, pid, rank) by quantized inner product."""
-    assign = ivf_assign(df, n_centroids)
-    q = quantized(df).select("vec_id", "qvec")
-    withc = q.join(assign, "vec_id")
-    a = withc.select(
-        F.col("vec_id").alias("qid"), F.col("qvec").alias("qv"), "centroid_id"
+def _ivf_bucket_topk_np(
+    df: DataFrame, k: int, n_centroids: int, nprobe: int, cosine: bool
+) -> DataFrame:
+    """Shared vectorized engine behind :func:`ivf_topk`,
+    :func:`ivf_topk_multiprobe` and :func:`cosine_topk_ivf` (r6, guide
+    §4.2 / §2.5): the former JVM shape scored every within-bucket
+    candidate pair with an interpreted ``zip_with``+``aggregate``
+    64-step fold — O(bucket_size^2) rows each paying a non-codegen
+    lambda chain, which at sf1.0 (20k vectors, first-8 centroids
+    degenerate into ONE bucket) ran for ~40 minutes inside the single
+    task the 8-key equi-join allows.  Shape here:
+
+    1. one Arrow pass assigns each vector its ``nprobe`` nearest
+       centroids (BLAS-exact numpy matmul against the collected,
+       cid-sorted centroid matrix; ties by cid via stable argsort over
+       cid-ascending columns);
+    2. query rows are SALTED across ``n_salts`` sub-groups per bucket
+       and index rows replicated into each (guide §2.5 skew salting —
+       results exact: query rows partition disjointly, every sub-group
+       sees the full index side).  ``n_salts`` is derived from
+       cores/n_centroids, so a production-sized codebook
+       (n_centroids >= cores) gets n_salts=1 and NO replication;
+    3. one ``applyInPandas`` per (bucket, salt) computes the pair dots
+       as a row-chunked BLAS float64 product — EXACT for e3-quantized
+       vectors because every partial sum stays below 2^53
+       (:func:`int_matmul_exact_np`) — and emits only the per-query
+       top-k.
+
+    Same bucket-pair candidate set, same exact integer ordering keys,
+    same tie-breaks — results identical (DuckDB parity pins it); the
+    quadratic intermediate never materializes as rows.
+
+    Exact integer keys: plain dots fit int64 directly; the cosine key
+    ``sign(dot) * ((dot^2 * 1e6) div nb)`` is computed WITHOUT an
+    int128 intermediate via divmod — ``dot^2 = q*nb + r`` gives
+    ``(dot^2 * 1e6) div nb = q*1e6 + (r*1e6) div nb``, and by
+    Cauchy-Schwarz ``q <= na``, so every term stays far below 2^63.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    crows = sorted(
+        df.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    b = withc.select(
-        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv"), "centroid_id"
+    cids = np.array([r.vec_id for r in crows], dtype=np.int64)
+    cm = quantize_e3_np(
+        np.array([r.embedding for r in crows], dtype=np.float64)
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "pv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    bc = spark.sparkContext.broadcast((cids, cm))
+    npb = min(nprobe, len(crows)) or 1
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from osmgraft.similarity import int_matmul_exact_np as mm
+        from osmgraft.similarity import quantize_e3_np as qz
+
+        cids_, cm_ = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = b.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            # normalize the passthrough to the declared array<double>
+            # (the source column may be array<float>)
+            emb = emb.cast(pa.list_(pa.float64()))
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            M = qz(flat.reshape(len(vids), -1).astype(np.float64))
+            D = mm(M, cm_)
+            # (dot desc, cid asc): columns are cid-ascending, stable sort
+            ordc = np.argsort(-D, axis=1, kind="stable")[:, :npb]
+            n = len(vids)
+            take = np.repeat(np.arange(n), npb)
+            yield pa.record_batch({
+                "vec_id": pa.array(vids[take]),
+                "embedding": emb.take(pa.array(take)),
+                "centroid_id": pa.array(cids_[ordc.ravel()]),
+                "rn": pa.array(np.tile(
+                    np.arange(1, npb + 1), n).astype(np.int32)),
+            })
+
+    assigned = df.select("vec_id", "embedding").mapInArrow(
+        assign,
+        "vec_id long, embedding array<double>, centroid_id long, rn int",
     )
-    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("pid").asc())
+
+    # Salted scoring groups: a tiny codebook (the degenerate-by-design
+    # first-n seeding) funnels the whole corpus into a handful of
+    # buckets = a handful of tasks; spread QUERY rows over
+    # ceil(cores / n_centroids) salts and replicate index rows into
+    # each.  Production codebooks (n_centroids >= cores) get
+    # n_salts = 1: the replication factor never scales with the
+    # corpus, only with local idle-core count.
+    par = spark.sparkContext.defaultParallelism
+    n_salts = max(1, min(16, par // max(n_centroids, 1)))
+    probe = assigned.select(
+        "vec_id", "embedding", "centroid_id",
+        F.lit(True).alias("is_probe"),
+        (F.col("rn") == 1).alias("is_index") if n_salts == 1
+        else F.lit(False).alias("is_index"),
+        (F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
+         if n_salts > 1 else F.lit(0)).alias("salt"),
+    )
+    if n_salts > 1:
+        salts = spark.range(n_salts).select(
+            F.col("id").cast("int").alias("salt")
+        )
+        index = (
+            assigned.filter(F.col("rn") == 1)
+            .crossJoin(F.broadcast(salts))
+            .select(
+                "vec_id", "embedding", "centroid_id",
+                F.lit(False).alias("is_probe"),
+                F.lit(True).alias("is_index"),
+                "salt",
+            )
+        )
+        rows = probe.unionByName(index)
+    else:
+        rows = probe
+
+    if npb > 1:
+        out_schema = "qid long, pid long, dot long"
+    else:
+        out_schema = "qid long, pid long, rank int" + (
+            ", cosine double" if cosine else ""
+        )
+
+    def score(table):
+        # applyInArrow: the Arrow list column flattens to one contiguous
+        # numpy buffer (a per-row list conversion under applyInPandas
+        # measured ~1 s per 25k-row group)
+        import numpy as np
+        import pyarrow as pa
+
+        from osmgraft.similarity import int_matmul_exact_np as mm
+        from osmgraft.similarity import quantize_e3_np as qz
+
+        multi = npb > 1  # closure-captured alongside k/cosine
+        cols = (
+            {"qid": [], "pid": [], "dot": []}
+            if multi
+            else {"qid": [], "pid": [], "rank": []}
+        )
+        if cosine and not multi:
+            cols["cosine"] = []
+        if table.num_rows:
+            vids = table.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = table.column("embedding").combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            M = qz(flat.reshape(len(vids), -1).astype(np.float64))
+            pm = table.column("is_probe").to_numpy(zero_copy_only=False)
+            im = table.column("is_index").to_numpy(zero_copy_only=False)
+            Q, qids = M[pm], vids[pm]
+            P, pids = M[im], vids[im]
+            if len(P) and len(Q):
+                n2p = (P * P).sum(axis=1) if cosine else None
+                n2q = (Q * Q).sum(axis=1) if cosine else None
+                # chunk the (queries x bucket) dot block to bound memory
+                chunk = max(1, 4_000_000 // max(len(P), 1))
+                for s in range(0, len(Q), chunk):
+                    # float64 BLAS product; exact for e3 quantization
+                    D = mm(Q[s:s + chunk], P, as_int=False)
+                    for i in range(D.shape[0]):
+                        g = s + i
+                        d = D[i]
+                        valid = pids != qids[g]
+                        if not valid.any():
+                            continue
+                        dv, pv = d[valid], pids[valid]
+                        if cosine:
+                            mag = np.abs(dv).astype(np.int64)
+                            d2 = mag * mag
+                            nb = n2p[valid]
+                            qd, rd = np.divmod(d2, nb)
+                            km = qd * 1_000_000 + (rd * 1_000_000) // nb
+                            kv = np.where(dv >= 0, km, -km)
+                        else:
+                            kv = dv
+                        if len(kv) > k:
+                            thr = np.partition(kv, len(kv) - k)[len(kv) - k]
+                            cm_ = kv >= thr
+                            kv2, pv2 = kv[cm_], pv[cm_]
+                            dv2 = dv[cm_]
+                            nb2 = nb[cm_] if cosine else None
+                        else:
+                            kv2, pv2, dv2 = kv, pv, dv
+                            nb2 = nb if cosine else None
+                        order = np.lexsort((pv2, -kv2))[:k]
+                        m = len(order)
+                        cols["qid"].extend([int(qids[g])] * m)
+                        cols["pid"].extend(pv2[order].tolist())
+                        if multi:
+                            cols["dot"].extend(
+                                dv2[order].astype(np.int64).tolist())
+                        else:
+                            cols["rank"].extend(range(1, m + 1))
+                            if cosine:
+                                cols["cosine"].extend((
+                                    dv2[order].astype(np.float64)
+                                    / np.sqrt((n2q[g] * nb2[order])
+                                              .astype(np.float64))
+                                ).tolist())
+        out = {"qid": pa.array(cols["qid"], type=pa.int64()),
+               "pid": pa.array(cols["pid"], type=pa.int64())}
+        if multi:
+            out["dot"] = pa.array(cols["dot"], type=pa.int64())
+        else:
+            out["rank"] = pa.array(cols["rank"], type=pa.int32())
+            if cosine:
+                out["cosine"] = pa.array(cols["cosine"], type=pa.float64())
+        return pa.table(out)
+
+    scored = rows.groupBy("centroid_id", "salt").applyInArrow(
+        score, out_schema
+    )
+    if npb == 1:
+        return scored
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dot").desc(), F.col("pid").asc()
+    )
     return (
-        a.join(b, "centroid_id")
-        .filter(F.col("qid") != F.col("pid"))
-        .withColumn("dot", dot)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "pid", F.col("rank").cast("int").alias("rank"))
     )
+
+
+
+def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 8) -> DataFrame:
+    """IVF-bucketed approximate top-k: each query searches only its own
+    centroid's bucket (nprobe=1).  The scale path: candidate generation
+    is bucketed (never all-pairs); pair scoring and top-k selection run
+    vectorized per bucket (see :func:`_ivf_bucket_topk_np`).
+    Output: (qid, pid, rank) by quantized inner product."""
+    return _ivf_bucket_topk_np(df, k, n_centroids, nprobe=1, cosine=False)
 
 
 def _nearest_centroid(
@@ -483,44 +723,11 @@ def ivf_topk_multiprobe(
     fan-out grows).  Still an equi-join on centroid_id; candidate volume
     scales linearly with nprobe, the standard recall/cost dial.
     A (query, point) pair can collide at most once because point buckets
-    are disjoint.  Output: (qid, pid, rank) by quantized inner product."""
-    q = quantized(df).select("vec_id", "qvec")
-    cents = q.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("qvec").alias("cvec")
-    )
-    dot = F.aggregate(
-        F.zip_with("qvec", "cvec", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid").asc())
-    ranked = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("dot", dot)
-        .withColumn("rn", F.row_number().over(w))
-    )
-    probe = ranked.filter(F.col("rn") <= nprobe).select(
-        F.col("vec_id").alias("qid"), F.col("qvec").alias("qv"),
-        F.col("cid").alias("centroid_id"),
-    )
-    index = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv"),
-        F.col("cid").alias("centroid_id"),
-    )
-    pdot = F.aggregate(
-        F.zip_with("qv", "pv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    wk = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("pid").asc())
-    return (
-        probe.join(index, "centroid_id")
-        .filter(F.col("qid") != F.col("pid"))
-        .withColumn("dot", pdot)
-        .withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select("qid", "pid", F.col("rank").cast("int").alias("rank"))
-    )
+    are disjoint.  Vectorized per-bucket scoring via
+    :func:`_ivf_bucket_topk_np` — but a query probing a foreign bucket
+    (rn > 1) is a probe-only row there, never an index member.
+    Output: (qid, pid, rank) by quantized inner product."""
+    return _ivf_bucket_topk_np(df, k, n_centroids, nprobe=nprobe, cosine=False)
 
 
 def _norm2_col() -> "F.Column":
@@ -577,36 +784,7 @@ def cosine_topk_ivf(df: DataFrame, k: int = 5, n_centroids: int = 8) -> DataFram
     exact integers < 2^53 and IEEE sqrt/divide are correctly rounded.
 
     Output: (qid, pid, rank, cosine)."""
-    assign = ivf_assign(df, n_centroids)
-    q = quantized(df).select("vec_id", "qvec").withColumn("n2", _norm2_col())
-    withc = q.join(assign, "vec_id")
-    a = withc.select(F.col("vec_id").alias("qid"), F.col("qvec").alias("qv"),
-                     F.col("n2").alias("na"), "centroid_id")
-    b = withc.select(F.col("vec_id").alias("pid"), F.col("qvec").alias("pv"),
-                     F.col("n2").alias("nb"), "centroid_id")
-    dot = F.aggregate(
-        F.zip_with("qv", "pv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    key_mag = F.expr(
-        "CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000) DIV nb AS BIGINT)"
-    )
-    key = F.when(F.col("dot") >= 0, key_mag).otherwise(-key_mag)
-    cosine = F.col("dot").cast("double") / F.sqrt(
-        (F.col("na") * F.col("nb")).cast("double")
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("key").desc(), F.col("pid").asc())
-    return (
-        a.join(b, "centroid_id")
-        .filter(F.col("qid") != F.col("pid"))
-        .withColumn("dot", dot)
-        .withColumn("key", key)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "pid", F.col("rank").cast("int").alias("rank"),
-                cosine.alias("cosine"))
-    )
+    return _ivf_bucket_topk_np(df, k, n_centroids, nprobe=1, cosine=True)
 
 
 def embedding_near_dup_pairs(

@@ -11,6 +11,28 @@ EN_STOPWORDS = [
     "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
 ]
 
+# single-pass stopword-occurrence counter (r6, guide §4.1): one
+# regexp_count scan replaces the former interpreted higher-order
+# filter-per-token (`F.filter(toks, ..array_contains..)` lambdas run
+# outside whole-stage codegen).  Token semantics match split(' ')
+# exactly: a "token" is a maximal run between single spaces (or the
+# string ends), so the stopword must be flanked by start/space and
+# space/end — tokens containing other whitespace (e.g. "the\nand") are
+# single non-matching tokens under both forms.  Equality vs the filter
+# form is pinned over the corpus by the DuckDB parity suite
+# (list_filter oracles unchanged).
+import re as _re
+
+_STOP_RE = (
+    "(?:^|(?<= ))(?:"
+    + "|".join(_re.escape(w) for w in EN_STOPWORDS)
+    + ")(?=$| )"
+)
+
+
+def stop_count_col(text_col: str = "text") -> "F.Column":
+    return F.regexp_count(F.col(text_col), F.lit(_STOP_RE))
+
 
 def token_stats(df: DataFrame) -> DataFrame:
     toks = F.split(F.col("text"), " ")
@@ -29,10 +51,7 @@ def lang_id(df: DataFrame, threshold: float = 0.05) -> DataFrame:
     """Stopword-ratio language heuristic: share of tokens that are
     English stopwords; >= threshold => 'en'."""
     toks = F.split(F.col("text"), " ")
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(
-        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
-    )
+    n_stop = stop_count_col()
     ratio = n_stop.cast("double") / F.size(toks)
     return df.select(
         "doc_id",
@@ -48,8 +67,7 @@ def quality_score(df: DataFrame) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     uniq = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    has_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) > 0
+    has_stop = stop_count_col() > 0
     score = (
         F.when((n_tok >= 10) & (n_tok <= 1000), 1).otherwise(0)
         + F.when(uniq >= 0.3, 1).otherwise(0)
