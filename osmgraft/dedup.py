@@ -608,9 +608,19 @@ def simhash_hamming_pairs(sh: DataFrame, max_hamming: int = 2) -> DataFrame:
     (shuffle sized like MinHash LSH), then the exact hamming verify.
     Result set is provably identical to the all-pairs scan.
 
+    Cache lifecycle (r6, same pattern as the minhash/jaccard pair
+    builders): the input fingerprint subtree feeds THREE plan branches
+    (band explode + both verify sides) — uncached, each branch re-ran
+    the full simhash derivation (its 64-vote aggregation is the
+    expensive part; measured 36 -> ~7 s at sf1.0).  Cached eagerly,
+    consumed by the eager result checkpoint, unpersisted before
+    return.
+
     Input: (doc_id, sim_hi, sim_lo).  Output: (doc_a, doc_b, hamming).
     """
     assert max_hamming <= 3, "4 fixed bands guarantee recall only to 3"
+    sh = sh.cache()
+    sh.count()  # eager populate: three cold-cache consumers race
     mask = F.lit(0xFFFF).cast("bigint")
     bands = sh.select(
         "doc_id",
@@ -643,10 +653,13 @@ def simhash_hamming_pairs(sh: DataFrame, max_hamming: int = 2) -> DataFrame:
         F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi")))
         + F.bit_count(F.col("ha_lo").bitwiseXOR(F.col("hb_lo")))
     )
-    return (
+    out = (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    out = out.localCheckpoint(eager=True)  # pair set: band-bounded
+    sh.unpersist()
+    return out

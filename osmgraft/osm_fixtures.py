@@ -135,9 +135,20 @@ def way_nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ways(way_id, tags, nodes ARRAY<LONG>) — every 3rd way ring-closed."""
+    """ways(way_id, tags, nodes ARRAY<LONG>) — every 3rd way ring-closed.
+
+    The ordered ref array sorts ``struct(l_linenumber, l_partkey)``
+    directly (r6, guide §2.4): ``seq`` from :func:`way_nodes_df` is a
+    dense rank over exactly that pair, so ranking first through a
+    6M-row ROW_NUMBER window (a full extra exchange + sort at sf1.0)
+    and then sorting by the rank produces the identical array as
+    sorting by the pair itself — the window is pure overhead here.
+    ``way_nodes_df`` keeps the explicit ``seq`` for consumers whose
+    OUTPUT carries it (clip/resequence)."""
     spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
-    way_nodes_df(spark, sf_dir).createOrReplaceTempView("way_nodes")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
 
     entries = []
     for i, tags in enumerate(WAY_TAG_BRANCHES):
@@ -161,10 +172,11 @@ def ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE n.base END AS nodes
         FROM orders o
         JOIN (
-          SELECT way_id,
-                 transform(array_sort(collect_list(struct(seq, node_id))),
-                           x -> x.node_id) AS base
-          FROM way_nodes GROUP BY way_id
+          SELECT l_orderkey AS way_id,
+                 transform(array_sort(collect_list(
+                             struct(l_linenumber, l_partkey))),
+                           x -> x.l_partkey) AS base
+          FROM lineitem GROUP BY l_orderkey
         ) n ON n.way_id = o.o_orderkey
     """)
 
