@@ -1459,17 +1459,20 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
-    """From-scratch GENERAL baseline-sequential JPEG decoder:
-    1-component (grayscale) and 3-component (YCbCr, 1x1 sampling)
-    images, any DQT/DHT tables (read from the stream, canonical
-    rebuild), per-component quant/Huffman selection, interleaved MCUs
-    with per-component DC predictors, DRI/RSTn restart intervals (byte
-    realignment, RST0..7 modulo-sequence check, predictor resets), any
-    coefficient content (full DC category + AC run/size/ZRL/EOB
-    alphabet), fixed-point integer IDCT (see module comment),
-    integer-exact JFIF YCbCr->RGB.  Returns an (h, w) uint8 array for
-    grayscale or (h, w, 3) RGB for color, or None for progressive/
-    subsampled/arithmetic/corrupt input — never raises."""
+    """From-scratch GENERAL JPEG decoder: baseline sequential (SOF0)
+    AND progressive (SOF2, spectral selection + successive
+    approximation — round 5); 1-component (grayscale) and 3-component
+    YCbCr at 1x1 or 4:2:0 sampling; any DQT/DHT tables (read from the
+    stream, canonical rebuild), per-component quant/Huffman selection,
+    interleaved MCUs with per-component DC predictors, DRI/RSTn
+    restart intervals (byte realignment, RST0..7 modulo-sequence
+    check, predictor resets), any coefficient content (full DC
+    category + AC run/size/ZRL/EOB alphabet), fixed-point integer
+    IDCT (see module comment), integer-exact JFIF YCbCr->RGB.
+    Returns an (h, w) uint8 array for grayscale or (h, w, 3) RGB for
+    color; ``None`` remains only for arithmetic-coded input, SOF
+    types other than 0/2, sampling layouts other than 1x1 / 4:2:0,
+    and corrupt streams — never raises."""
     b = payload
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
@@ -1624,6 +1627,13 @@ def _jpeg_decode_block(br, q, dc_tab, ac_tab, pred):
             break
         if sym == 0xF0:  # ZRL
             k += 16
+            # strict-decoder contract (r6, advice item): a ZRL whose 16
+            # zeros overrun the block is corrupt and must be a loud
+            # None, not a silent truncation.  k == 64 exactly is the
+            # one legal boundary (16 trailing zeros complete the
+            # block); anything past it cannot fit.
+            if k > 64:
+                return None
             continue
         run, size = sym >> 4, sym & 0x0F
         k += run
@@ -2285,20 +2295,24 @@ def decode_adpcm_samples(payload: bytes) -> np.ndarray | None:
         return None
     nch, _, _, n = hdr
     b, pos = payload, 12
-    data = None
+    data = fmt_body = None
+    # one chunk walk locates BOTH fmt and data (r6, advice item: the
+    # former raw bytes.find(b'fmt ') could land inside an earlier
+    # chunk's body and read block_align/wSamplesPerBlock from offsets
+    # parse_adpcm_header never validated)
     while pos + 8 <= len(b):
         tag = b[pos : pos + 4]
         (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-        if tag == b"data":
+        if tag == b"fmt " and fmt_body is None:
+            fmt_body = b[pos + 8 : pos + 8 + length]
+        elif tag == b"data":
             data = b[pos + 8 : pos + 8 + length]
             break
         pos += 8 + length + (length & 1)
-    if data is None:
+    if data is None or fmt_body is None or len(fmt_body) < 20:
         return None
-    fmt_pos = b.find(b"fmt ")
-    block_align, spb = struct.unpack(
-        "<HH", b[fmt_pos + 20 : fmt_pos + 22] + b[fmt_pos + 26 : fmt_pos + 28]
-    )
+    block_align = struct.unpack_from("<H", fmt_body, 12)[0]
+    spb = struct.unpack_from("<H", fmt_body, 18)[0]
     out = np.empty((n, nch), dtype=np.int16)
     done = 0
     for boff in range(0, len(data), block_align):

@@ -231,6 +231,16 @@ def write_obm(df: DataFrame, path: str, kind: str) -> dict:
     ``part-*.obm`` and the manifest are removed first, so a re-run
     with fewer partitions cannot leave stale records behind.
     Returns {files, n_entities, n_bytes}.
+
+    SHARED-FILESYSTEM / LOCAL-MODE REQUIREMENT (r6, advice item):
+    executor tasks write with plain ``open()`` + ``os.replace`` and
+    the DRIVER lists/cleans the directory and writes the manifest —
+    correct only when driver and executors see one filesystem (local
+    mode, or a shared mount such as NFS).  On a multi-node cluster
+    with node-local disks the store would scatter silently and the
+    manifest/cleanup diverge; route the IO through Hadoop FS APIs (or
+    point ``path`` at a shared mount) before running this sink there.
+    The same assumption class is documented for bench.py's in-JVM GC.
     """
     os.makedirs(path, exist_ok=True)
     for stale in os.listdir(path):
