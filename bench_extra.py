@@ -42,23 +42,14 @@ def minhash_stages(spark):
     equi-join + the two verify joins + the eager localCheckpoint.
     Measured here by timing the packed-signature subtree alone (noop)
     and the full query, reporting (signatures, total - signatures)."""
-    from pyspark.sql import functions as F
-
     from osmgraft import dedup
     from osmgraft.queries import QUERIES, _MAX_DF, _read_spread
 
     d = _read_spread(spark, SF_DIR.rstrip("/"), "documents")
     sh = dedup.shingles(d, 3, max_df=_MAX_DF)
-    k = 8
-    hashes = [
-        F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
-        for s in range(k)
-    ]
-    packed = (
-        sh.select("id", *hashes)
-        .groupBy("id")
-        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(k)])
-    )
+    # shared builder (r6): timing the SAME subtree the query runs, not
+    # a copy that could drift from the library shape
+    packed = dedup.packed_signatures(sh, k=8)
     out = {"signatures": [], "total": []}
     for r in range(REPS + 1):
         t_sig = timed(lambda: noop(packed))

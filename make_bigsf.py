@@ -33,11 +33,16 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/sf1.0"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
-# per-table int64 key columns remapped as key*R+r
+# per-table int64 key columns remapped as key*R+r.  FK columns are
+# remapped consistently with their dimension (r6 review fix: l_partkey
+# originally stayed unmapped while part.p_partkey moved, so way-node
+# refs resolved against arbitrary replicas — join cardinality was
+# unchanged but the resolved coordinates differed from a consistently
+# scaled corpus).
 KEYS = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
-    "lineitem": ["l_orderkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
@@ -76,6 +81,24 @@ def main() -> None:
                 elif name == "documents" and field == "n_chars":
                     # keep n_chars consistent with the suffixed text
                     col = pc.add(col, pa.scalar(len(f" zrep{r}"), col.type))
+                elif name == "embeddings" and field == "embedding":
+                    # deterministic per-replica jitter on element 0
+                    # (r6 review fix: verbatim replication makes the
+                    # first-8 IVF centroids EXACT copies of one vector
+                    # — maximal bucket degeneracy.  +r/1000 keeps every
+                    # near-dup relationship while breaking exact ties.
+                    # NOTE: this round's recorded ivf numbers were
+                    # measured on the stricter pre-jitter replica.)
+                    import numpy as np
+                    flat = col.combine_chunks().flatten()
+                    vals = flat.to_numpy(zero_copy_only=False).copy()
+                    dim = len(vals) // len(t)
+                    vals[0::dim] = vals[0::dim] + np.float32(r) * 1e-3
+                    col = pa.ListArray.from_arrays(
+                        pa.array([i * dim for i in range(len(t) + 1)],
+                                 type=pa.int32()),
+                        pa.array(vals, type=flat.type),
+                    )
                 cols[field] = col
             parts.append(pa.table(cols, schema=None))
         big = pa.concat_tables(parts)

@@ -226,6 +226,25 @@ def minhash_signatures(
     return _signatures_from(shingles(df, n, max_df=max_df), k)
 
 
+def packed_signatures(sh: DataFrame, k: int) -> DataFrame:
+    """One row per doc with the k minwise hashes as columns m0..m{k-1}
+    — the round-5 packed plan shape: k conditional-MIN aggregate
+    columns of a single groupBy(id) over the (id, shingle) rows.
+    Shared by :func:`minhash_lsh_pairs` and the bench_extra stage-split
+    harness (r6 review item: the harness previously copy-pasted this
+    subtree and would silently measure a stale shape after a library
+    change)."""
+    hashes = [
+        F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
+        for s in range(k)
+    ]
+    return (
+        sh.select("id", *hashes)
+        .groupBy("id")
+        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(k)])
+    )
+
+
 def _signatures_from(sh: DataFrame, k: int) -> DataFrame:
     """Signatures from an (id, shingle) set."""
     seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
@@ -290,16 +309,7 @@ def minhash_lsh_pairs(
     base = _shingle_base(df, n).persist()
     base.count()  # eager populate: the cap's two sides race a cold cache
     sh = base if max_df is None else _apply_df_cap(base, max_df)
-    hashes = [
-        F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
-        for s in range(k)
-    ]
-    packed = (
-        sh.select("id", *hashes)
-        .groupBy("id")
-        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(k)])
-        .cache()
-    )
+    packed = packed_signatures(sh, k).cache()
     packed.count()  # eager populate: cold-cache consumers race (see above)
     base.unpersist()  # signature build consumed it; bands read `packed`
     n_bands = (k + band_size - 1) // band_size
@@ -613,7 +623,14 @@ def simhash(df: DataFrame, bits: int = 64) -> DataFrame:
             texts = batch.column("text").to_pylist()
             his = np.zeros(len(doc_ids), dtype=np.int64)
             los = np.zeros(len(doc_ids), dtype=np.int64)
+            keep = np.ones(len(doc_ids), dtype=bool)
             for i, text in enumerate(texts):
+                if text is None:
+                    # match the former JVM shape: split(NULL) -> NULL,
+                    # explode(NULL) drops the row — a NULL-text doc is
+                    # simply absent from the output, never an error
+                    keep[i] = False
+                    continue
                 votes = np.zeros(bits, dtype=np.int64)
                 for t in set(text.split(TOKEN_SPLIT)):
                     votes += tok_bits(t)
@@ -622,9 +639,9 @@ def simhash(df: DataFrame, bits: int = 64) -> DataFrame:
                 his[i] = int((hi_w * pos).sum())
             yield pa.record_batch({
                 "doc_id": pa.array(
-                    np.asarray(doc_ids, dtype=np.int64)),
-                "sim_hi": pa.array(his),
-                "sim_lo": pa.array(los),
+                    np.asarray(doc_ids, dtype=np.int64)[keep]),
+                "sim_hi": pa.array(his[keep]),
+                "sim_lo": pa.array(los[keep]),
             })
 
     return df.select("doc_id", "text").mapInArrow(

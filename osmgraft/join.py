@@ -383,11 +383,17 @@ def knn(
             )
         except Exception:
             est_bytes = None
-        # conservative ~24 B/row floor (3 packed longs): underestimating
-        # the row width inflates the |P| estimate, biasing toward the
-        # ring path, never toward an oversized brute join
+        # |P| estimate = est_bytes / 8: plan stats carry COMPRESSED
+        # file bytes through the width-scaled projections (r6 review
+        # fix — a 24 B/row divisor could UNDERcount rows on a
+        # dictionary/RLE-compressed source and mis-route a large input
+        # to brute).  8 B/row is at/below the practical compressed
+        # floor for 3-long rows, so the estimate errs high (toward the
+        # ring path); on the in-repo derivation shapes stats report
+        # ~87 B/row, i.e. ~11x overestimation — still far under the
+        # bound for the bench-sized inputs this branch targets.
         if est_bytes is not None and (
-            max(len(q_rows), 1) * (est_bytes // 24 + 1) <= brute_max_pairs
+            max(len(q_rows), 1) * (est_bytes // 8 + 1) <= brute_max_pairs
         ):
             qs = spark.createDataFrame(
                 [(r.qid, r.lon_e7, r.lat_e7) for r in q_rows],

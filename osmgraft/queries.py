@@ -592,9 +592,11 @@ def ann_topk(spark, sf_dir):
         import numpy as np
         import pyarrow as pa
 
+        from osmgraft.similarity import int_matmul_exact_np as _mm
         from osmgraft.similarity import quantize_e3_np as _q
 
         qids_, qmT = bc.value
+        qm_ = qmT.T  # _mm transposes internally
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -604,7 +606,7 @@ def ann_topk(spark, sf_dir):
                 emb = emb.combine_chunks()
             flat = emb.flatten().to_numpy(zero_copy_only=False)
             pm = _q(flat.reshape(len(pids), -1).astype(np.float64))
-            d = pm @ qmT  # (n, nq) int64-exact inner products
+            d = _mm(pm, qm_)  # (n, nq) exact inner products (BLAS path)
             n, nq = d.shape
             yield pa.record_batch({
                 "pid": pa.array(np.repeat(pids, nq).astype(np.int64)),

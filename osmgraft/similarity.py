@@ -284,6 +284,23 @@ def _ivf_bucket_topk_np(
     bc = spark.sparkContext.broadcast((cids, cm))
     npb = min(nprobe, len(crows)) or 1
 
+    # Salted scoring groups: a tiny codebook (the degenerate-by-design
+    # first-n seeding) funnels the whole corpus into a handful of
+    # buckets = a handful of tasks; spread QUERY rows over
+    # ceil(cores / n_centroids) salts and replicate index rows into
+    # each.  Production codebooks (n_centroids >= cores) get
+    # n_salts = 1: the replication factor never scales with the
+    # corpus, only with local idle-core count.  The assignment pass
+    # emits probe AND replica-index rows in ONE sweep (r6 review fix:
+    # a probe/index union over the uncached mapInArrow subtree ran
+    # the whole assignment scan twice): per vector, npb probe rows
+    # (the rn=1 row doubling as the index row of its own salt) plus
+    # n_salts-1 index-only replicas.  The salt is an arbitrary
+    # deterministic spread (Knuth multiplicative hash of vec_id) —
+    # it only balances load, never changes results.
+    par = spark.sparkContext.defaultParallelism
+    n_salts = max(1, min(16, par // max(n_centroids, 1)))
+
     def assign(batches):
         import numpy as np
         import pyarrow as pa
@@ -308,54 +325,46 @@ def _ivf_bucket_topk_np(
             # (dot desc, cid asc): columns are cid-ascending, stable sort
             ordc = np.argsort(-D, axis=1, kind="stable")[:, :npb]
             n = len(vids)
+            sv = (
+                (vids.astype(np.uint64) * np.uint64(2654435761))
+                >> np.uint64(16)
+            ).astype(np.int64) % n_salts
+            # probe rows: every (vector, rn<=npb); rn=1 also serves as
+            # the index row of the vector's own salt group
             take = np.repeat(np.arange(n), npb)
+            rn = np.tile(np.arange(1, npb + 1), n)
+            cen = cids_[ordc.ravel()]
+            salt = np.repeat(sv, npb)
+            is_probe = np.ones(n * npb, dtype=bool)
+            is_index = rn == 1
+            if n_salts > 1:
+                # index-only replicas into the other n_salts-1 groups
+                all_salt = np.tile(np.arange(n_salts, dtype=np.int64), n)
+                rep_mask = all_salt != np.repeat(sv, n_salts)
+                take2 = np.repeat(np.arange(n), n_salts)[rep_mask]
+                take = np.concatenate([take, take2])
+                rn = np.concatenate(
+                    [rn, np.ones(len(take2), dtype=rn.dtype)])
+                cen = np.concatenate([cen, cids_[ordc[take2, 0]]])
+                salt = np.concatenate([salt, all_salt[rep_mask]])
+                is_probe = np.concatenate(
+                    [is_probe, np.zeros(len(take2), dtype=bool)])
+                is_index = np.concatenate(
+                    [is_index, np.ones(len(take2), dtype=bool)])
             yield pa.record_batch({
                 "vec_id": pa.array(vids[take]),
                 "embedding": emb.take(pa.array(take)),
-                "centroid_id": pa.array(cids_[ordc.ravel()]),
-                "rn": pa.array(np.tile(
-                    np.arange(1, npb + 1), n).astype(np.int32)),
+                "centroid_id": pa.array(cen),
+                "salt": pa.array(salt.astype(np.int32)),
+                "is_probe": pa.array(is_probe),
+                "is_index": pa.array(is_index),
             })
 
-    assigned = df.select("vec_id", "embedding").mapInArrow(
+    rows = df.select("vec_id", "embedding").mapInArrow(
         assign,
-        "vec_id long, embedding array<double>, centroid_id long, rn int",
+        "vec_id long, embedding array<double>, centroid_id long, "
+        "salt int, is_probe boolean, is_index boolean",
     )
-
-    # Salted scoring groups: a tiny codebook (the degenerate-by-design
-    # first-n seeding) funnels the whole corpus into a handful of
-    # buckets = a handful of tasks; spread QUERY rows over
-    # ceil(cores / n_centroids) salts and replicate index rows into
-    # each.  Production codebooks (n_centroids >= cores) get
-    # n_salts = 1: the replication factor never scales with the
-    # corpus, only with local idle-core count.
-    par = spark.sparkContext.defaultParallelism
-    n_salts = max(1, min(16, par // max(n_centroids, 1)))
-    probe = assigned.select(
-        "vec_id", "embedding", "centroid_id",
-        F.lit(True).alias("is_probe"),
-        (F.col("rn") == 1).alias("is_index") if n_salts == 1
-        else F.lit(False).alias("is_index"),
-        (F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
-         if n_salts > 1 else F.lit(0)).alias("salt"),
-    )
-    if n_salts > 1:
-        salts = spark.range(n_salts).select(
-            F.col("id").cast("int").alias("salt")
-        )
-        index = (
-            assigned.filter(F.col("rn") == 1)
-            .crossJoin(F.broadcast(salts))
-            .select(
-                "vec_id", "embedding", "centroid_id",
-                F.lit(False).alias("is_probe"),
-                F.lit(True).alias("is_index"),
-                "salt",
-            )
-        )
-        rows = probe.unionByName(index)
-    else:
-        rows = probe
 
     if npb > 1:
         out_schema = "qid long, pid long, dot long"
