@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import cells
-from .geometry import OUTSIDE, Polygon, polygon_cover
+from .geometry import INSIDE, OUTSIDE, Polygon, polygon_cover
 
 DEFAULT_COVER_LEVEL = 9  # ~0.7 deg cells: fine enough to hug boundaries,
 # coarse enough that planet-scale covers stay broadcastable
@@ -137,6 +137,14 @@ def _pip_refine_udf(spark: SparkSession, polys: list[Polygon]):
         g = bc.value
         for b in np.unique(bs):
             m = bs == b
+            if int(b) not in g:
+                # segment-less (match-everything) boundary: INSIDE for
+                # every point (``CountryPolygon.c:105-107``).  Reached
+                # only by the single-pass broadcast shape, which routes
+                # empty-polygon candidate rows through the same refine
+                # column instead of a separate cross-join branch.
+                out[m] = INSIDE
+                continue
             p0x, p0y, p1x, p1y, bbox = g[int(b)]
             px, py = xs[m], ys[m]
             inb = (px >= bbox[0]) & (py >= bbox[1]) & (px <= bbox[2]) & (py <= bbox[3])
@@ -185,10 +193,13 @@ def spatial_join(
     (<= level+1 rows, typically 3-5) — smaller build side for one extra
     narrow explode.
     """
-    # NOTE: when empty (match-everything) polygons are present the plan
-    # has two branches over ``points`` (cover join + cross join); if the
-    # points are UDF-derived (e.g. extraction output), persist/materialize
-    # them first or the extraction runs once per branch.
+    # NOTE: on the default broadcast/non-compact path, empty
+    # (match-everything) polygons are attached IN the single cover-join
+    # pass (see below) — one plan branch over ``points``.  The
+    # sortmerge/compact strategies still union a second cross-join
+    # branch when empties are present; there, if the points are
+    # UDF-derived (e.g. extraction output), persist/materialize them
+    # first or the extraction runs once per branch.
     # Large boundary sets: build the cover on the executors — the driver
     # loop is fine for tens of boundaries, a bottleneck for thousands.
     if len(polys) > 64:
@@ -212,7 +223,47 @@ def spatial_join(
             cells.lonlat_cell_col(F.col("lon_e7"), F.col("lat_e7"), level),
         )
 
-    if strategy == "broadcast":
+    empty_ids = [p.boundary_id for p in polys if p.n_segments == 0]
+    attach_empty_inline = bool(empty_ids) and strategy == "broadcast" and not compact_cover
+
+    if attach_empty_inline:
+        # Single-pass empty-polygon attach (r6, guide §2.4 remove
+        # shuffles/passes outright): the former shape UNIONED a second
+        # ``points.crossJoin(empties)`` branch, so the whole points
+        # subtree (scan + derivation) was evaluated TWICE — Spark does
+        # not share common subtrees across union branches.  Instead,
+        # LEFT-join the cell-aggregated broadcast cover (cell ->
+        # array(boundary_id); every point row survives) and explode
+        # cover matches ++ empty ids from the one pass.  Multiset-
+        # identical output: inner-join candidates == left-join rows
+        # with non-null bids exploded, and every point gains exactly
+        # the empty ids the cross join produced.  Empty-id rows flow
+        # through the refine column and come back INSIDE (see
+        # ``_pip_refine_udf``), exactly the cross-join branch's
+        # ``lit(INSIDE)``.  Compact/sortmerge strategies keep the
+        # union shape (their cover is exploded by level / shuffled,
+        # not a per-cell broadcast aggregate).
+        cov_agg = cov.groupBy("cell").agg(
+            F.collect_list("boundary_id").alias("_bids")
+        )
+        empty_arr = F.array(*[F.lit(int(i)).cast("long") for i in empty_ids])
+        cand = (
+            pt.join(F.broadcast(cov_agg), "cell", "left")
+            .withColumn(
+                "boundary_id",
+                F.explode(
+                    F.concat(
+                        F.coalesce(
+                            F.col("_bids"),
+                            F.expr("CAST(array() AS array<bigint>)"),
+                        ),
+                        empty_arr,
+                    )
+                ),
+            )
+            .drop("_bids")
+        )
+    elif strategy == "broadcast":
         cand = pt.join(F.broadcast(cov), "cell")
     elif strategy == "sortmerge":
         cand = _salted_sortmerge(spark, pt, cov, salt_buckets, hot_cell_threshold)
@@ -228,13 +279,10 @@ def spatial_join(
         .drop("cell")
     )
 
-    empty_ids = [p.boundary_id for p in polys if p.n_segments == 0]
-    if empty_ids:
+    if empty_ids and not attach_empty_inline:
         empties = spark.createDataFrame(
             [(i,) for i in empty_ids], schema="boundary_id LONG"
         )
-        from .geometry import INSIDE
-
         full = points.crossJoin(F.broadcast(empties)).withColumn(
             "position", F.lit(INSIDE)
         )

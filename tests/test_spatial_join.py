@@ -64,6 +64,37 @@ def test_boundary_points_match(spark, entities):
         assert r.doc_id in bd_ids
 
 
+def test_empty_polygon_attach_is_single_pass(spark, entities):
+    """r6: on the default broadcast path, empty (match-everything)
+    polygons are attached inside the one cover-join pass — the plan has
+    no second branch over the points subtree (no Union of a
+    BroadcastNestedLoopJoin cross product), and the empty-boundary rows
+    still carry position == INSIDE via the refine column."""
+    from osmgraft.geometry import INSIDE
+
+    polys = synth.boundaries()
+    assert any(p.n_segments == 0 for p in polys)  # fixture has 'world'
+    # plan shape on the default (position-dropped) path — the shape the
+    # bench/gate queries run
+    default = spatial_join(spark, entities, polys)
+    plan = default._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one refine evaluation (one pass over points).
+    # (keep_position=True still shows the known §4.4 filter-pushdown
+    # UDF duplication — test-only path, pre-existing either shape.)
+    assert plan.count("ArrowEvalPython") == 1
+    res = spatial_join(spark, entities, polys, keep_position=True)
+    empty_ids = {p.boundary_id for p in polys if p.n_segments == 0}
+    empty_rows = res.filter(
+        F.col("boundary_id").isin(*empty_ids)
+    ).select("position").distinct().collect()
+    assert {r.position for r in empty_rows} == {INSIDE}
+
+
 def test_knn_matches_bruteforce(spark, entities):
     pts = entities.select(
         (F.col("doc_id") * 10 + F.col("ent_idx")).alias("pid"), "lon_e7", "lat_e7"
