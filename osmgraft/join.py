@@ -454,10 +454,16 @@ def knn(
             # spread the streamed side: the local single-row-group scan
             # plans 1-2 partitions, and the per-point work here is heavy
             # (|Q| DECIMAL(38,0) distance evaluations per row), so one
-            # narrow exchange buys |cores|-way parallelism; no-op when
-            # the scan already plans enough partitions (production)
+            # narrow exchange buys |cores|-way parallelism.  The spread
+            # decision reuses the plan-stats estimate that routed us
+            # into this branch (late r6): under one 128 MB scan split
+            # the scan plans ~1 partition, so spread; the former
+            # ``ps.rdd.getNumPartitions()`` probe forced a
+            # DataFrame->RDD conversion on the driver (~0.1 s per
+            # call).  Larger inputs skip the exchange and keep the
+            # scan's own parallelism (production behavior unchanged).
             par = spark.sparkContext.defaultParallelism
-            if ps.rdd.getNumPartitions() < par:
+            if est_bytes < (128 << 20):
                 ps = ps.repartition(par)
             dx = (F.col("px") - F.col("qx")).cast("decimal(19,0)")
             dy = (F.col("py") - F.col("qy")).cast("decimal(19,0)")

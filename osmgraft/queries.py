@@ -315,11 +315,18 @@ def geo_pip_join_distcover(spark, sf_dir):
 )
 def geo_knn(spark, sf_dir):
     """kNN via k-ring expansion + exact integer distance refinement."""
-    pts = synth.geo_entities_df(spark, sf_dir).select(
-        (F.col("doc_id") * 10 + F.col("ent_idx")).alias("pid"), "lon_e7", "lat_e7"
-    )
-    qs = pts.filter(F.col("pid") < 300).select(
-        F.col("pid").alias("qid"), "lon_e7", "lat_e7"
+    ents = synth.geo_entities_df(spark, sf_dir)
+    pid = (F.col("doc_id") * 10 + F.col("ent_idx")).alias("pid")
+    pts = ents.select(pid, "lon_e7", "lat_e7")
+    # query side filtered on the SOURCE column (late r6, guide §6): the
+    # oracle's `pid < 300` is exactly `doc_id <= 29` for every integer
+    # doc_id (pid = doc_id*10 + ent_idx with ent_idx in {0, 1}:
+    # doc_id <= 29 -> pid <= 291; doc_id >= 30 -> pid >= 300), and the
+    # doc_id form reaches the parquet scan as a PushedFilter /
+    # row-group skip, where the derived-pid form forced knn()'s
+    # bounded query-collect pass to scan every doc_id.
+    qs = ents.filter(F.col("doc_id") < 30).select(
+        pid.alias("qid"), "lon_e7", "lat_e7"
     )
     return knn(spark, qs, pts, k=5).select(
         "qid", "pid", F.col("rank").cast("int").alias("rank")
