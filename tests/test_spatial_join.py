@@ -95,6 +95,26 @@ def test_empty_polygon_attach_is_single_pass(spark, entities):
     assert {r.position for r in empty_rows} == {INSIDE}
 
 
+def test_empty_polygon_attach_with_distributed_cover(spark, sf_dir):
+    """The inline empty-attach also composes with the >64-polygon
+    distributed cover builder, and agrees with the sortmerge strategy's
+    union shape on the same mixed set."""
+    from osmgraft.geometry import Polygon
+
+    ents = synth.geo_entities_df(spark, sf_dir).cache()
+    polys = synth.boundaries_many(70) + [Polygon(999, "world", [])]
+    got = spatial_join(spark, ents, polys).select(
+        "doc_id", "ent_idx", "boundary_id"
+    )
+    n_pts = ents.count()
+    assert got.filter(F.col("boundary_id") == 999).count() == n_pts
+    sm = spatial_join(spark, ents, polys, strategy="sortmerge").select(
+        "doc_id", "ent_idx", "boundary_id"
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in sm.collect()}
+    ents.unpersist()
+
+
 def test_knn_matches_bruteforce(spark, entities):
     pts = entities.select(
         (F.col("doc_id") * 10 + F.col("ent_idx")).alias("pid"), "lon_e7", "lat_e7"
