@@ -41,11 +41,19 @@ def way_region_semijoin(
 
 
 def way_clip_resequence(
-    way_nodes: DataFrame, node_regions: DataFrame
+    way_nodes: DataFrame,
+    node_regions: DataFrame,
+    order_cols: tuple = ("seq",),
 ) -> DataFrame:
     """J3: per (way, region), member nodes inside the region re-numbered
-    densely 0..n-1 in original order."""
-    w = Window.partitionBy("way_id", "boundary_id").orderBy("seq")
+    densely 0..n-1 in original order.
+
+    ``order_cols`` names the columns that define the within-way order.
+    When the caller's ``seq`` is itself a rank over some raw key pair,
+    passing that pair instead skips materializing the rank (one full
+    exchange+sort less upstream): ranking by a rank over K orders
+    identically to ordering by K on any row subset (r6, guide §2.4)."""
+    w = Window.partitionBy("way_id", "boundary_id").orderBy(*order_cols)
     return (
         way_nodes.join(node_regions, "node_id")
         .withColumn("new_seq", F.row_number().over(w) - 1)

@@ -134,6 +134,26 @@ def way_nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def way_nodes_raw_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """way_nodes without the dense ``seq`` rank: (way_id, lnum, node_id).
+
+    ``(lnum, node_id)`` IS the total ordering contract that
+    :func:`way_nodes_df` ranks into ``seq`` — consumers that only need
+    the *order* (not the rank value itself) can window/sort on the raw
+    pair and skip the fixture's 6M-row ROW_NUMBER exchange+sort
+    entirely (r6, guide §2.4; same argument as :func:`ways_df`).
+    Duplicate (lnum, node_id) pairs within a way are identical rows, so
+    any rank tie-break yields the same output multiset."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql("""
+        SELECT l_orderkey AS way_id, l_linenumber AS lnum,
+               l_partkey AS node_id
+        FROM lineitem
+    """)
+
+
 def ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ways(way_id, tags, nodes ARRAY<LONG>) — every 3rd way ring-closed.
 

@@ -896,9 +896,16 @@ def way_boundary_semijoin(spark, sf_dir):
     """,
 )
 def way_clip_resequence_q(spark, sf_dir):
-    """J3: region-clipped way nodes, densely re-sequenced from 0."""
-    wn = osm_fixtures.way_nodes_df(spark, sf_dir)
-    return way_clip_resequence(wn, _part_node_regions(spark, sf_dir)).select(
+    """J3: region-clipped way nodes, densely re-sequenced from 0.
+
+    Orders the clip window on the raw (lnum, node_id) pair instead of
+    the fixture's dense ``seq`` rank over that same pair — identical
+    output (the oracle above does exactly this), one less 6M-row
+    exchange+sort (r6, guide §2.4)."""
+    wn = osm_fixtures.way_nodes_raw_df(spark, sf_dir)
+    return way_clip_resequence(
+        wn, _part_node_regions(spark, sf_dir), order_cols=("lnum", "node_id")
+    ).select(
         "way_id", "boundary_id",
         F.col("new_seq").cast("int").alias("new_seq"), "node_id",
     )
