@@ -656,26 +656,38 @@ def simhash_hamming_pairs(sh: DataFrame, max_hamming: int = 2) -> DataFrame:
     Pigeonhole: the 64 bits are cut into 4 contiguous 16-bit bands; at
     most ``max_hamming`` (<= 3) bands can contain a differing bit, so
     every qualifying pair agrees exactly on >= 1 band.  Candidate
-    generation = explode to (band_idx, band_bits) + hash equi-join
-    (shuffle sized like MinHash LSH), then the exact hamming verify.
+    generation = explode to (band_idx, band_bits) + hash equi-join.
     Result set is provably identical to the all-pairs scan.
 
+    Verify-in-join (late r6, guide §2.3/§2.4): the band rows carry BOTH
+    fingerprint halves, so the exact XOR+popcount hamming runs in
+    codegen directly on the joined row and non-pairs die in a filter
+    BEFORE any further exchange.  The former shape shuffled the FULL
+    candidate set into a pair ``distinct`` (cross-band duplicates live
+    in different band-keyed partitions, so partial agg cannot merge
+    them: measured 131M candidate rows -> 119.6M-row distinct exchange
+    at sf1.0 against 1.19M true pairs) and then re-attached fingerprints
+    with two more joins.  Now the distinct input is <= 4x the true pair
+    count and both verify joins are gone; ``hamming`` is functionally
+    determined by the pair, so distinct over the triple equals the old
+    pair-distinct.  The band join's shuffle grows by two BIGINTs per
+    row on each side (band rows are corpus-sized, not pair-sized) — a
+    fixed +16 bytes/row for dropping the pair-sized exchange.
+
     Cache lifecycle (r6, same pattern as the minhash/jaccard pair
-    builders): the input fingerprint subtree feeds THREE plan branches
-    (band explode + both verify sides) — uncached, each branch re-ran
-    the full simhash derivation (its 64-vote aggregation is the
-    expensive part; measured 36 -> ~7 s at sf1.0).  Cached eagerly,
-    consumed by the eager result checkpoint, unpersisted before
-    return.
+    builders): the input fingerprint subtree feeds both join sides —
+    uncached, each branch re-ran the full simhash derivation.  Cached
+    eagerly, consumed by the eager result checkpoint, unpersisted
+    before return.
 
     Input: (doc_id, sim_hi, sim_lo).  Output: (doc_a, doc_b, hamming).
     """
     assert max_hamming <= 3, "4 fixed bands guarantee recall only to 3"
     sh = sh.cache()
-    sh.count()  # eager populate: three cold-cache consumers race
+    sh.count()  # eager populate: cold-cache consumers race
     mask = F.lit(0xFFFF).cast("bigint")
     bands = sh.select(
-        "doc_id",
+        "doc_id", "sim_hi", "sim_lo",
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("band_idx"),
@@ -688,29 +700,26 @@ def simhash_hamming_pairs(sh: DataFrame, max_hamming: int = 2) -> DataFrame:
                          F.col("sim_lo").bitwiseAND(mask).alias("band_bits")),
             )
         ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.band_bits")
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_bits")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_bits")
-    cand = (
-        a.join(b, ["band_idx", "band_bits"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    fa = sh.select(F.col("doc_id").alias("doc_a"),
-                   F.col("sim_hi").alias("ha_hi"), F.col("sim_lo").alias("ha_lo"))
-    fb = sh.select(F.col("doc_id").alias("doc_b"),
-                   F.col("sim_hi").alias("hb_hi"), F.col("sim_lo").alias("hb_lo"))
+    ).select("doc_id", "sim_hi", "sim_lo", "b.band_idx", "b.band_bits")
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sim_hi").alias("ha_hi"),
+                     F.col("sim_lo").alias("ha_lo"),
+                     "band_idx", "band_bits")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sim_hi").alias("hb_hi"),
+                     F.col("sim_lo").alias("hb_lo"),
+                     "band_idx", "band_bits")
     ham = (
         F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi")))
         + F.bit_count(F.col("ha_lo").bitwiseXOR(F.col("hb_lo")))
     )
     out = (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
     out = out.localCheckpoint(eager=True)  # pair set: band-bounded
     sh.unpersist()
