@@ -488,23 +488,55 @@ def _nearest_centroid(
 ) -> DataFrame:
     """Assign each (vec_id, qvec) to the centroid (cid, cvec) with the
     highest quantized inner product, ties -> lowest cid.  ``out_vec``
-    optionally carries qvec through under that name."""
-    dot = F.aggregate(
-        F.zip_with("qvec", "cvec", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    optionally carries qvec through under that name.
+
+    One Arrow pass vs the driver-collected center set (late r6, guide
+    §4.2, same move as :func:`_centroid_scan_np`): the former shape was
+    a broadcast crossJoin whose every (vector, centroid) row paid an
+    interpreted 64-step ``zip_with`` dot fold, followed by a per-vec_id
+    window top-1 (a full exchange+sort of corpus x n_centroids rows).
+    ``cents`` was already broadcast-sized by contract, so collecting it
+    is the same bounded driver residency; dots are exact via
+    :func:`int_matmul_exact_np`, and centers scanned in ascending-cid
+    column order make ``argmax``'s first-maximum the lowest cid —
+    identical tie-breaks.  No shuffle at all in the assignment."""
+    import numpy as np
+
+    spark = vecs.sparkSession
+    rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["cvec"]) for r in rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((cids, C))
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from osmgraft.similarity import int_matmul_exact_np as mm
+
+        cids_, C_ = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            qv = b.column("qvec")
+            if isinstance(qv, pa.ChunkedArray):
+                qv = qv.combine_chunks()
+            flat = qv.flatten().to_numpy(zero_copy_only=False)
+            Q = flat.reshape(len(vids), -1).astype(np.int64)
+            best = np.argmax(mm(Q, C_), axis=1)
+            out = {
+                "vec_id": pa.array(vids.astype(np.int64)),
+                "centroid_id": pa.array(cids_[best]),
+            }
+            if out_vec:
+                out[out_vec] = qv
+            yield pa.record_batch(out)
+
+    schema = "vec_id long, centroid_id long" + (
+        f", {out_vec} array<bigint>" if out_vec else ""
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid").asc())
-    cols = ["vec_id", F.col("cid").alias("centroid_id")]
-    if out_vec:
-        cols.append(F.col("qvec").alias(out_vec))
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("dot", dot)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(*cols)
-    )
+    return vecs.select("vec_id", "qvec").mapInArrow(run, schema)
 
 
 def ivf_train_assign(
