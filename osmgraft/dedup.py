@@ -291,20 +291,25 @@ def minhash_lsh_pairs(
     one row per doc, one shuffle keyed on id (the seed-exploded
     (id, seed)-keyed shuffle and the two seed-level verify joins of
     the previous shape are gone; same trick as the SimHash vote fold).
-    Band keys are column slices of that row; the verify stage joins
-    the candidate pairs to the one-row-per-doc signature table twice
-    and counts matches with a codegen sum of k equality terms.
+    Band keys are column slices of that row.  Verify-in-join (late r6,
+    same move as :func:`simhash_hamming_pairs`): the band rows carry
+    all k signature columns, so ``n_match`` is a codegen sum of k
+    equality terms ON the joined row — the two post-distinct verify
+    joins are gone and the pair ``distinct`` runs over the final
+    4-column output (n_match/est_sim are functionally determined by
+    the pair, so the distinct set is unchanged).  The band shuffle
+    widens by k BIGINTs per row on each side — corpus-sized band rows,
+    not pair-sized.
 
     Cache lifecycle (two nested, both closed before return): the
     PRE-cap shingle base is cached so the df-cap's count side and the
     signature build share one explode (r6; the uncached variant re-ran
     the derivation per side), and is unpersisted as soon as ``packed``
-    is materialized.  The packed signature table feeds three consumers
-    (band explode + both verify sides) — cached and EAGERLY populated
-    (a lazy cache lets the consumers race and re-run the whole
-    signature subtree concurrently: measured 4-5x slower at bench
-    scale), consumed by the eager result materialization, unpersisted
-    before return.
+    is materialized.  The packed signature table feeds both sides of
+    the band self-join — cached and EAGERLY populated (a lazy cache
+    lets the consumers race and re-run the whole signature subtree
+    concurrently: measured 4-5x slower at bench scale), consumed by
+    the eager result materialization, unpersisted before return.
     """
     base = _shingle_base(df, n).persist()
     base.count()  # eager populate: the cap's two sides race a cold cache
@@ -324,37 +329,33 @@ def minhash_lsh_pairs(
         for t in range(n_bands)
     ]
     bands = packed.select(
-        "id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("id", "b.band", "b.band_key")
-    a = bands.select(F.col("id").alias("doc_a"), "band", "band_key")
-    b = bands.select(F.col("id").alias("doc_b"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = packed.select(
+        "id", *[f"m{s}" for s in range(k)],
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select("id", *[f"m{s}" for s in range(k)], "b.band", "b.band_key")
+    a = bands.select(
         F.col("id").alias("doc_a"),
         *[F.col(f"m{s}").alias(f"ma{s}") for s in range(k)],
+        "band", "band_key",
     )
-    sb = packed.select(
+    b = bands.select(
         F.col("id").alias("doc_b"),
         *[F.col(f"m{s}").alias(f"mb{s}") for s in range(k)],
+        "band", "band_key",
     )
     n_match = sum(
         F.when(F.col(f"ma{s}") == F.col(f"mb{s}"), 1).otherwise(0)
         for s in range(k)
     )
     out = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
             n_match.cast("bigint").alias("n_match"),
             (n_match.cast("double") / k).alias("est_sim"),
         )
+        .distinct()
     )
     out = out.localCheckpoint(eager=True)
     packed.unpersist()
