@@ -960,15 +960,38 @@ def _closure_inputs(spark, sf_dir):
     rels = osm_fixtures.relations_df(spark, sf_dir).filter(
         F.col("relation_id") < 100
     )
-    nodes = osm_fixtures.nodes_df(spark, sf_dir).select(
-        F.col("id").alias("node_id"), "lon_e7", "lat_e7"
+    # Both consumers (the closure fixpoint and the member filter) only
+    # ever probe the region tables at refs that occur in rels.members —
+    # every join is keyed on a member ref.  Pre-filtering the corpus
+    # inputs to that ref set with broadcast left-semi joins (late r6,
+    # guide §3.2: reduce the big side before the expensive work) skips
+    # the full-corpus spatial join + way semijoin for entities no
+    # relation references, and is exactly result-preserving: rows for
+    # unreferenced entities could never reach the output.
+    refs = rels.select(F.explode("members").alias("m")).select(
+        F.col("m.ref").alias("ref"), F.col("m.type").alias("mtype")
+    )
+    node_refs = (
+        refs.filter(F.col("mtype") == "node")
+        .select(F.col("ref").alias("node_id")).distinct()
+    )
+    way_refs = (
+        refs.filter(F.col("mtype") == "way")
+        .select(F.col("ref").alias("way_id")).distinct()
+    )
+    nodes = (
+        osm_fixtures.nodes_df(spark, sf_dir)
+        .select(F.col("id").alias("node_id"), "lon_e7", "lat_e7")
+        .join(F.broadcast(node_refs), "node_id", "left_semi")
     )
     # materialize both region tables: the closure fixpoint and member
     # filter consume them repeatedly (every iteration / three joins)
     node_regions = spatial_join(spark, nodes, synth.boundaries()).select(
         "node_id", "boundary_id"
     ).localCheckpoint(eager=True)
-    wn = osm_fixtures.way_nodes_df(spark, sf_dir)
+    wn = osm_fixtures.way_nodes_df(spark, sf_dir).join(
+        F.broadcast(way_refs), "way_id", "left_semi"
+    )
     way_regions = way_region_semijoin(
         wn, _part_node_regions(spark, sf_dir)
     ).localCheckpoint(eager=True)
